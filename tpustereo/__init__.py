@@ -1,0 +1,17 @@
+"""tpustereo — a TPU-native stereo-matching framework.
+
+Built from scratch in JAX/XLA with Pallas kernels, covering the classic SGBM
+pipeline (census matching cost, H×W×D cost volume, semi-global 4/8-path DP
+aggregation, WTA + subpixel parabola, LR consistency + speckle filtering),
+a SAD block-matching mode, multi-chip/multi-host scaling (batch sharding over
+DCN, strip tiling with halo exchange over ICI), and a minimal stereo-odometry
+backend (features + pose graph).
+
+Capability surface per /root/repo/SURVEY.md (the reference checkout
+hilbertw/stereo_matching is empty — see SURVEY.md §0 — so parity is defined
+against the golden NumPy/OpenCV oracle chain in `tpustereo.golden`).
+"""
+
+from tpustereo.config import Config, PRESETS  # noqa: F401
+
+__version__ = "0.1.0"
