@@ -9,6 +9,19 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The axon sitecustomize force-registers the TPU backend regardless of the
+# JAX_PLATFORMS env var; the config update below wins over it.
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the test suite is compile-bound on this
+# 1-vCPU box; caching XLA executables across runs cuts reruns from minutes
+# to seconds.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpustereo_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,117 @@
+"""Distributed tests on the fake 8-device CPU mesh (SURVEY.md §5.0):
+batch DP, strip tiling (halo + exact ring), halo-size accuracy measurement.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpustereo.config import Config
+from tpustereo.data.synthetic import synthetic_pair
+from tpustereo.dist import make_mesh, sgbm_data_parallel, sgbm_tiled, sgbm_tiled_batched
+from tpustereo.pipeline import sgbm
+from tpustereo.eval import bad
+
+D = 16
+H, W = 48, 64  # divisible by strip counts 2 and 4
+
+
+@pytest.fixture(scope="module")
+def pair():
+    return synthetic_pair((H, W), disparity=6.0, slope=0.05, seed=7)
+
+
+def _cfg(**kw):
+    base = dict(num_disparities=D, speckle_window_size=20)
+    base.update(kw)
+    return Config(**base)
+
+
+def test_mesh_construction():
+    assert len(jax.devices()) >= 8, "conftest should fake 8 CPU devices"
+    mesh = make_mesh(data=2, strip=4)
+    assert mesh.shape == {"data": 2, "strip": 4}
+    with pytest.raises(ValueError):
+        make_mesh(data=4, strip=4)
+
+
+def test_data_parallel_matches_single(pair):
+    L, R, _, _ = pair
+    cfg = _cfg()
+    lefts = np.stack([L, L[::-1], L, L[:, ::-1]])
+    rights = np.stack([R, R[::-1], R, R[:, ::-1]])
+    mesh = make_mesh(data=4, strip=1)
+    out = np.asarray(sgbm_data_parallel(jnp.asarray(lefts), jnp.asarray(rights), cfg, mesh))
+    ref = np.asarray(sgbm(jnp.asarray(L), jnp.asarray(R), cfg))
+    assert np.allclose(out[0], ref)
+
+
+def test_tiled_exact_ring_bitexact(pair):
+    """Exact ring mode == untiled, bit for bit, at 2 and 4 strips."""
+    L, R, _, _ = pair
+    cfg = _cfg(exact_tiling=True, paths=8)
+    ref = np.asarray(sgbm(jnp.asarray(L), jnp.asarray(R), cfg))
+    for strips in (2, 4):
+        mesh = make_mesh(data=1, strip=strips)
+        out = np.asarray(sgbm_tiled(jnp.asarray(L), jnp.asarray(R), cfg, mesh))
+        assert ((ref >= 0) == (out >= 0)).all(), f"validity differs at S={strips}"
+        sel = ref >= 0
+        assert np.abs(ref - out)[sel].max() < 1e-5, f"S={strips}"
+
+
+def test_tiled_exact_ring_adaptive_p2(pair):
+    L, R, _, _ = pair
+    cfg = _cfg(exact_tiling=True, paths=4, adaptive_p2=True)
+    ref = np.asarray(sgbm(jnp.asarray(L), jnp.asarray(R), cfg))
+    mesh = make_mesh(data=1, strip=4)
+    out = np.asarray(sgbm_tiled(jnp.asarray(L), jnp.asarray(R), cfg, mesh))
+    sel = ref >= 0
+    assert ((ref >= 0) == (out >= 0)).all()
+    assert np.abs(ref - out)[sel].max() < 1e-5
+
+
+def test_tiled_sad_and_census_wta_exact(pair):
+    """SAD and census+WTA modes are exactly tileable (window-local)."""
+    L, R, _, _ = pair
+    mesh = make_mesh(data=1, strip=4)
+    for mode in ("sad", "census_wta"):
+        cfg = Config(mode=mode, num_disparities=D, disp12_max_diff=-1,
+                     speckle_window_size=0, median_filter=False)
+        ref = np.asarray(sgbm(jnp.asarray(L), jnp.asarray(R), cfg))
+        out = np.asarray(sgbm_tiled(jnp.asarray(L), jnp.asarray(R), cfg, mesh))
+        assert ((ref >= 0) == (out >= 0)).all(), mode
+        sel = ref >= 0
+        assert np.abs(ref - out)[sel].max() < 1e-5, mode
+
+
+def test_halo_accuracy_vs_untiled(pair):
+    """The halo-size/accuracy tradeoff, measured (SURVEY.md §7 hard parts):
+    disagreement vs untiled must drop with halo and be small at halo=12."""
+    L, R, _, _ = pair
+    ref = np.asarray(sgbm(jnp.asarray(L), jnp.asarray(R), _cfg(paths=8)))
+    mesh = make_mesh(data=1, strip=2)
+    mismatch = {}
+    for halo in (2, 12):
+        cfg = _cfg(paths=8, halo=halo)
+        out = np.asarray(sgbm_tiled(jnp.asarray(L), jnp.asarray(R), cfg, mesh))
+        both = (ref >= 0) & (out >= 0)
+        mm = float((np.abs(ref - out)[both] > 0.5).mean()
+                   + ((ref >= 0) != (out >= 0)).mean())
+        mismatch[halo] = mm
+    assert mismatch[12] <= mismatch[2] + 1e-9
+    assert mismatch[12] < 0.03, mismatch
+
+
+def test_tiled_batched(pair):
+    L, R, _, _ = pair
+    cfg = _cfg(paths=4, exact_tiling=True)
+    lefts = jnp.stack([jnp.asarray(L), jnp.asarray(L[::-1])])
+    rights = jnp.stack([jnp.asarray(R), jnp.asarray(R[::-1])])
+    mesh = make_mesh(data=2, strip=4)
+    out = np.asarray(sgbm_tiled_batched(lefts, rights, cfg, mesh))
+    ref0 = np.asarray(sgbm(jnp.asarray(L), jnp.asarray(R), cfg))
+    assert out.shape == (2, H, W)
+    sel = ref0 >= 0
+    assert ((ref0 >= 0) == (out[0] >= 0)).all()
+    assert np.abs(ref0 - out[0])[sel].max() < 1e-5

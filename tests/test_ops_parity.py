@@ -1,0 +1,161 @@
+"""Parity tests: jnp ops vs the golden NumPy oracle — bit-exact on integer
+stages, fp-tight end-to-end (SURVEY.md §5.0 'golden parity tests')."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpustereo.config import Config
+from tpustereo import golden
+from tpustereo.ops import (aggregate, census, cost_volume, lr_check, median3,
+                           sad_volume, speckle, wta)
+from tpustereo.ops.sgm import aggregate_path
+from tpustereo.pipeline import sgbm, sgbm_batched
+from tpustereo.api import match_pair, match_batch
+from tpustereo.data.synthetic import synthetic_pair
+
+
+CFG = Config(num_disparities=16, speckle_window_size=20)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    return synthetic_pair((48, 64), disparity=6.0, slope=0.05, seed=7)
+
+
+@pytest.fixture(scope="module")
+def vol(pair):
+    L, R, _, _ = pair
+    C = golden.cost_volume_numpy(golden.census_numpy(L), golden.census_numpy(R),
+                                 CFG.num_disparities, 24)
+    return L, R, C
+
+
+def test_census_parity(pair):
+    L, _, _, _ = pair
+    for window in [(5, 5), (3, 3), (5, 3)]:
+        g = golden.census_numpy(L, window)
+        j = np.asarray(census(jnp.asarray(L), window))
+        assert j.shape[-1] == 1 and (g == j[..., 0].astype(np.uint64)).all()
+
+
+def test_census_multiplane(pair):
+    # 9x7 window -> 62 bits -> 2 uint32 planes
+    L, _, _, _ = pair
+    g = golden.census_numpy(L, (9, 7))
+    j = np.asarray(census(jnp.asarray(L), (9, 7)))
+    assert j.shape[-1] == 2
+    packed = j[..., 0].astype(np.uint64) | (j[..., 1].astype(np.uint64) << np.uint64(32))
+    assert (g == packed).all()
+
+
+def test_cost_volume_parity(pair, vol):
+    L, R, C = vol[0], vol[1], vol[2]
+    j = np.asarray(cost_volume(census(jnp.asarray(L)), census(jnp.asarray(R)),
+                               CFG.num_disparities, 24))
+    assert (C == j).all()
+
+
+def test_sad_parity(pair):
+    L, R, _, _ = pair
+    g = golden.sad_volume_numpy(L, R, 16, 9)
+    j = np.asarray(sad_volume(jnp.asarray(L), jnp.asarray(R), 16, 9))
+    assert (g == j).all()
+
+
+@pytest.mark.parametrize("dy,dx", [(0, 1), (0, -1), (1, 0), (-1, 0),
+                                   (1, 1), (1, -1), (-1, 1), (-1, -1)])
+def test_aggregate_path_parity(vol, dy, dx):
+    L, _, C = vol
+    g = golden.aggregate_path_numpy(C, dy, dx, CFG, L)
+    j = np.asarray(aggregate_path(jnp.asarray(C), dy, dx, CFG, jnp.asarray(L)))
+    assert (g == j).all(), f"direction {(dy, dx)}"
+
+
+@pytest.mark.parametrize("adaptive", [False, True])
+@pytest.mark.parametrize("paths", [4, 8])
+def test_aggregate_parity(vol, paths, adaptive):
+    L, _, C = vol
+    cfg = CFG.replace(paths=paths, adaptive_p2=adaptive)
+    g = golden.aggregate_numpy(C, cfg, L)
+    j = np.asarray(aggregate(jnp.asarray(C), cfg, jnp.asarray(L)))
+    assert (g == j).all()
+
+
+def test_wta_parity(vol):
+    L, _, C = vol
+    S = golden.aggregate_numpy(C, CFG, L)
+    gd, gi, gv = golden.wta_numpy(S, CFG)
+    jd, ji, jv = wta(jnp.asarray(S), CFG)
+    assert (gi == np.asarray(ji)).all()
+    assert (gv == np.asarray(jv)).all()
+    assert np.abs(gd - np.asarray(jd)).max() < 1e-4
+
+
+def test_lr_check_parity(vol):
+    L, _, C = vol
+    S = golden.aggregate_numpy(C, CFG, L)
+    gd, gi, _ = golden.wta_numpy(S, CFG)
+    g = golden.lr_check_numpy(S, gi, gd, CFG)
+    j = np.asarray(lr_check(jnp.asarray(S), jnp.asarray(gd), CFG))
+    assert (g == j).all()
+
+
+def test_speckle_parity(pair):
+    L, R, _, _ = pair
+    gd, stages = golden.sgbm_numpy(L, R, CFG, return_stages=True)
+    disp, _, _ = stages["wta"]
+    valid = stages["lr_valid"]
+    g = golden.speckle_numpy(disp, valid, CFG)
+    j = np.asarray(speckle(jnp.asarray(disp), jnp.asarray(valid), CFG))
+    assert (g == j).all()
+
+
+def test_speckle_worst_case_snake():
+    # a long thin valid snake: must NOT be invalidated (component is big);
+    # regression test for naive fixed-iteration label propagation.
+    H, W = 16, 40
+    disp = np.zeros((H, W), np.float32)
+    valid = np.zeros((H, W), bool)
+    valid[0, :] = True; valid[1:, -1] = True  # L-shaped thin region, 55 px
+    cfg = Config(speckle_window_size=50, speckle_range=2)
+    g = golden.speckle_numpy(disp, valid, cfg)
+    j = np.asarray(speckle(jnp.asarray(disp), jnp.asarray(valid), cfg))
+    assert (g == j).all()
+    assert j[0, 0] and j[H - 1, W - 1]  # kept
+
+
+def test_median3_parity(pair):
+    L, _, _, _ = pair
+    x = L.astype(np.float32)
+    assert (golden.median3_numpy(x) == np.asarray(median3(jnp.asarray(x)))).all()
+
+
+@pytest.mark.parametrize("mode", ["sad", "census_wta", "sgm"])
+def test_pipeline_parity(pair, mode):
+    L, R, _, _ = pair
+    cfg = CFG.replace(mode=mode) if mode == "sgm" else Config(
+        mode=mode, num_disparities=16, disp12_max_diff=-1,
+        speckle_window_size=0, median_filter=False)
+    g = golden.sgbm_numpy(L, R, cfg)
+    j = np.asarray(sgbm(jnp.asarray(L), jnp.asarray(R), cfg))
+    assert ((g >= 0) == (j >= 0)).all()
+    sel = g >= 0
+    assert np.abs(g - j)[sel].max() < 1e-4
+
+
+def test_batched_matches_single(pair):
+    L, R, _, _ = pair
+    lefts = np.stack([L, L[::-1]]); rights = np.stack([R, R[::-1]])
+    b = match_batch(lefts, rights, CFG)
+    s0 = match_pair(L, R, CFG)
+    s1 = match_pair(L[::-1], R[::-1], CFG)
+    assert np.allclose(b[0], s0) and np.allclose(b[1], s1)
+
+
+def test_api_accepts_rgb_and_float(pair):
+    L, R, _, _ = pair
+    rgb = np.stack([L, L, L], axis=-1).astype(np.float64)
+    d1 = match_pair(rgb, np.stack([R, R, R], -1), CFG)
+    d2 = match_pair(L, R, CFG)
+    assert d1.shape == d2.shape

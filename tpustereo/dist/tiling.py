@@ -1,0 +1,217 @@
+"""Spatial strip tiling over the mesh 'strip' axis — the sequence-parallel
+analog of this workload (SURVEY.md §3 #16, §4.3, §5.7).
+
+Rows are sharded across chips. Horizontal SGM paths are strip-local and
+embarrassingly parallel; vertical/diagonal paths cross strips and come in
+two modes:
+
+* **halo approximation** (default, scalable): each chip scans an extended
+  strip with `cfg.halo` rows exchanged from its neighbours over ICI
+  (`lax.ppermute`) and discards the halo. Path influence decays because of
+  the SGM renormalisation term, so a 32–64 row halo reproduces interior
+  costs to within quantisation — the halo-size/accuracy tradeoff is
+  *measured* in tests/test_dist.py, not assumed.
+* **exact ring hand-off** (`cfg.exact_tiling`): the (W, D) carry slab is
+  ppermuted strip-to-strip (the ring-attention analog). Bit-exact with the
+  untiled pipeline at any strip count; the y-scanning directions serialise
+  across strips, so it is the correctness fallback, not the fast path.
+
+Post-processing (speckle components, median) legitimately crosses strips but
+operates on the tiny (H, W) disparity map, so both modes all_gather the
+per-strip disparity+validity (a few MB) and run post-processing globally —
+bit-exact with untiled postproc by construction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from tpustereo.config import Config
+from tpustereo.ops import census, cost_volume, lr_check, median3, sad_volume, speckle, wta
+from tpustereo.ops.sgm import DIRS_4, DIRS_8, aggregate_path, p2_map
+from tpustereo.pipeline.sgbm import INVALID
+
+_BIG = jnp.int32(1 << 24)
+AXIS = "strip"
+
+
+# ---------------------------------------------------------------------------
+# halo exchange
+# ---------------------------------------------------------------------------
+
+def halo_exchange(x: jnp.ndarray, halo: int, axis_name: str = AXIS) -> jnp.ndarray:
+    """(Hs, ...) local strip -> (Hs + 2*halo, ...) extended strip.
+
+    Neighbour rows via ppermute over ICI; boundary chips (no neighbour)
+    fill with edge replication, matching the untiled pipeline's border
+    convention (census pads with edge replication; for SGM it makes halo
+    paths start in replicated rows — part of the measured approximation).
+    """
+    n = lax.axis_size(axis_name)
+    i = lax.axis_index(axis_name)
+    top, bot = x[:halo], x[-halo:]
+    from_above = lax.ppermute(bot, axis_name, [(k, k + 1) for k in range(n - 1)])
+    from_below = lax.ppermute(top, axis_name, [(k + 1, k) for k in range(n - 1)])
+    rep_top = jnp.broadcast_to(x[:1], from_above.shape)
+    rep_bot = jnp.broadcast_to(x[-1:], from_below.shape)
+    from_above = jnp.where(i == 0, rep_top, from_above)
+    from_below = jnp.where(i == n - 1, rep_bot, from_below)
+    return jnp.concatenate([from_above, x, from_below], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# exact ring carry hand-off
+# ---------------------------------------------------------------------------
+
+def _ring_path(C_loc, dy, dx, cfg: Config, p2m_loc, axis_name: str = AXIS):
+    """Exact L_r for a y-scanning direction with carry hand-off.
+
+    SPMD ring (§4.3b): at ring step s, the chip owning strip s (in path
+    order) scans with the carry received from its predecessor and forwards
+    its final carry. All chips execute every step (SPMD); a chip keeps the
+    result of its own turn. An all-BIG carry is arithmetically identical to
+    a path start (L collapses to C), so strip 0 needs no special case.
+    """
+    n = lax.axis_size(axis_name)
+    i = lax.axis_index(axis_name)
+    W, D = C_loc.shape[1], C_loc.shape[2]
+    down = dy > 0  # path order: top strip first for dy>0
+    perm = ([(k, k + 1) for k in range(n - 1)] if down
+            else [(k + 1, k) for k in range(n - 1)])
+
+    def body(s, state):
+        carry, out = state
+        L, fin = aggregate_path(C_loc, dy, dx, cfg, img=None, p2m=p2m_loc,
+                                init_carry=carry, return_carry=True)
+        turn = s if down else n - 1 - s
+        mine = (i == turn)
+        out = jnp.where(mine, L, out)
+        carry = lax.ppermute(jnp.where(mine, fin, _BIG), axis_name, perm)
+        return carry, out
+
+    # Derive the inits from C_loc so the loop carry has the same
+    # varying-manual-axes type as the body output under shard_map (plain
+    # constants are 'unvarying' and fail scan's carry typing).
+    init = (C_loc[0].astype(jnp.int32) * 0 + _BIG,
+            jnp.zeros(C_loc.shape, jnp.int16) + C_loc.astype(jnp.int16) * 0)
+    _, out = lax.fori_loop(0, n, body, init)
+    return out
+
+
+def _aggregate_tiled_exact(C_loc, img_ext, ry: int, cfg: Config):
+    """S on the local strip, exact at any strip count.
+
+    C_loc: (Hs, W, D) exact local cost rows (built from a census-halo
+    extended strip). Horizontal paths are strip-local; y-scanning paths use
+    the ring. Adaptive-P2 maps are computed on the extended image and
+    cropped so boundary rows see the true neighbour gradient.
+    """
+    Hs = C_loc.shape[0]
+    dirs = DIRS_4 if cfg.paths == 4 else DIRS_8
+    S = jnp.zeros(C_loc.shape, jnp.int16)
+    for dy, dx in dirs:
+        p2e = p2_map(img_ext, dy, dx, cfg)
+        p2l = p2e[ry:ry + Hs]
+        if dy == 0:
+            S = S + aggregate_path(C_loc, dy, dx, cfg, img=None, p2m=p2l)
+        else:
+            S = S + _ring_path(C_loc, dy, dx, cfg, p2l)
+    return S
+
+
+# ---------------------------------------------------------------------------
+# tiled pipeline
+# ---------------------------------------------------------------------------
+
+def _volume_local(left_loc, right_loc, cfg: Config):
+    """Aggregated volume S for the local strip (halo or exact mode)."""
+    ch = cfg.census_window[0]
+    ry = ch // 2
+    if cfg.mode == "sad":
+        r = cfg.sad_block // 2
+        ext_l = halo_exchange(left_loc, r)
+        ext_r = halo_exchange(right_loc, r)
+        S = sad_volume(ext_l, ext_r, cfg.num_disparities, cfg.sad_block)
+        return S[r:S.shape[0] - r]
+    if cfg.mode == "census_wta" or cfg.exact_tiling:
+        # census needs only the window margin; exact thereafter
+        ext_l = halo_exchange(left_loc, ry)
+        ext_r = halo_exchange(right_loc, ry)
+        C = cost_volume(census(ext_l, cfg.census_window),
+                        census(ext_r, cfg.census_window),
+                        cfg.num_disparities, cfg.max_census_cost)
+        C_loc = C[ry:C.shape[0] - ry]
+        if cfg.mode == "census_wta":
+            return C_loc.astype(jnp.int16)
+        return _aggregate_tiled_exact(C_loc, ext_l, ry, cfg)
+    # halo-approximate SGM (halo cannot exceed the strip height: one-hop
+    # ppermute reaches only the adjacent strip)
+    h = min(max(cfg.halo, ry), left_loc.shape[0])
+    ext_l = halo_exchange(left_loc, h)
+    ext_r = halo_exchange(right_loc, h)
+    C = cost_volume(census(ext_l, cfg.census_window),
+                    census(ext_r, cfg.census_window),
+                    cfg.num_disparities, cfg.max_census_cost)
+    # Out-of-image halo rows (boundary chips) get zero cost: with an
+    # all-equal carry the SGM renormalisation collapses to L = C, so paths
+    # enter the first real row exactly as at an untiled path start — the
+    # edge-replicated image rows would instead accumulate h rows of bias.
+    n = lax.axis_size(AXIS)
+    i = lax.axis_index(AXIS)
+    rows = jnp.arange(C.shape[0])[:, None, None]
+    out_of_image = ((i == 0) & (rows < h)) | ((i == n - 1) & (rows >= C.shape[0] - h))
+    C = jnp.where(out_of_image, jnp.uint8(0), C)
+    dirs = DIRS_4 if cfg.paths == 4 else DIRS_8
+    S = jnp.zeros(C.shape, jnp.int16)
+    for dy, dx in dirs:
+        S = S + aggregate_path(C, dy, dx, cfg, ext_l)
+    return S[h:S.shape[0] - h]
+
+
+def _sgbm_strip(left_loc, right_loc, cfg: Config):
+    """Full pipeline body inside shard_map: local volume + WTA/LR, then
+    global (all_gathered) speckle + median — postproc is bit-exact with
+    the untiled pipeline."""
+    S = _volume_local(left_loc, right_loc, cfg)
+    disp, d_int, valid = wta(S, cfg)
+    valid &= lr_check(S, disp, cfg)
+
+    full_disp = lax.all_gather(disp, AXIS, tiled=True)
+    full_valid = lax.all_gather(valid, AXIS, tiled=True)
+    full_valid = speckle(full_disp, full_valid, cfg)
+    out = jnp.where(full_valid, full_disp, INVALID)
+    if cfg.median_filter:
+        out = median3(out)
+    i = lax.axis_index(AXIS)
+    Hs = disp.shape[0]
+    return lax.dynamic_slice_in_dim(out, i * Hs, Hs, axis=0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def sgbm_tiled(left, right, cfg: Config, mesh: Mesh):
+    """Strip-tiled single-pair pipeline: rows sharded over 'strip'.
+
+    H must be divisible by the strip-axis size. Returns (H, W) float32 with
+    the same sharding as the inputs.
+    """
+    fn = shard_map(partial(_sgbm_strip, cfg=cfg), mesh=mesh,
+                   in_specs=(P(AXIS, None), P(AXIS, None)),
+                   out_specs=P(AXIS, None))
+    return fn(left, right)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def sgbm_tiled_batched(left, right, cfg: Config, mesh: Mesh):
+    """Batched + tiled: (B, H, W) sharded P('data', 'strip', None) —
+    the config-4/5 production layout (SURVEY.md §4.2/§4.3)."""
+    body = jax.vmap(partial(_sgbm_strip, cfg=cfg))
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P("data", AXIS, None), P("data", AXIS, None)),
+                   out_specs=P("data", AXIS, None))
+    return fn(left, right)

@@ -17,6 +17,7 @@ from tpustereo.golden.sgbm_numpy import (  # noqa: F401
     cost_volume_numpy,
     sad_volume_numpy,
     aggregate_numpy,
+    aggregate_path_numpy,
     wta_numpy,
     lr_check_numpy,
     speckle_numpy,

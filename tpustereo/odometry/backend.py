@@ -1,0 +1,153 @@
+"""Stereo visual odometry backend (cv_slam tier; SURVEY.md §3 #19, §4.4).
+
+Per frame: disparity (full TPU pipeline) -> depth -> Harris corners +
+NCC-patch descriptors (on-device) -> match against the last keyframe (one
+MXU matmul) -> Gauss-Newton 3D→2D pose -> host-side keyframe decision ->
+keyframe pose graph, periodically re-optimized. State is checkpointable
+(SURVEY.md §5.4) so a killed run resumes at the last keyframe.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpustereo.config import Config
+from tpustereo.data.datasets import KittiCalib
+from tpustereo.odometry.features import describe, detect_corners, match_descriptors
+from tpustereo.odometry.pnp import gauss_newton_pose
+from tpustereo.odometry.pose_graph import PoseGraph
+from tpustereo.odometry.se3 import inv_se3
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryConfig:
+    max_corners: int = 512
+    min_similarity: float = 0.6
+    gn_iters: int = 10
+    keyframe_translation: float = 0.3   # new keyframe beyond this motion (m)
+    keyframe_rotation: float = 0.05     # or beyond this rotation (rad, approx)
+    keyframe_min_matches: int = 40      # or when tracking starves
+    optimize_every: int = 5             # pose-graph GN every K keyframes
+    min_depth: float = 0.5
+    max_depth: float = 80.0
+
+
+@dataclasses.dataclass
+class _Keyframe:
+    index: int               # pose-graph node id
+    pts: np.ndarray          # (K, 2) int32 [y, x]
+    desc: np.ndarray         # (K, P) float32
+    X: np.ndarray            # (K, 3) float32 3D points (camera frame)
+    valid: np.ndarray        # (K,) bool (corner valid & depth valid)
+
+
+class StereoOdometry:
+    def __init__(self, calib: KittiCalib, cfg: Optional[Config] = None,
+                 ocfg: Optional[OdometryConfig] = None):
+        self.calib = calib
+        self.cfg = cfg or Config()
+        self.ocfg = ocfg or OdometryConfig()
+        self.graph = PoseGraph()
+        self.kf: Optional[_Keyframe] = None
+        self.pose = np.eye(4, dtype=np.float32)      # world <- current cam
+        self._traj: List[np.ndarray] = []
+        self._frames = 0
+        self._intr = jnp.asarray([calib.fx, calib.fy, calib.cx, calib.cy],
+                                 jnp.float32)
+
+    # ------------------------------------------------------------------
+    def _features(self, left: np.ndarray):
+        img = jnp.asarray(left)
+        pts, valid = detect_corners(img, max_corners=self.ocfg.max_corners)
+        desc = describe(img, pts)
+        return np.asarray(pts), np.asarray(desc), np.asarray(valid)
+
+    def _backproject(self, pts: np.ndarray, disp: np.ndarray):
+        """3D points (camera frame) at corner pixels from the disparity map."""
+        d = disp[pts[:, 0], pts[:, 1]]
+        z = np.where(d > 0, self.calib.fx * self.calib.baseline
+                     / np.maximum(d, 1e-6), 0.0)
+        ok = (z > self.ocfg.min_depth) & (z < self.ocfg.max_depth)
+        x = (pts[:, 1] - self.calib.cx) * z / self.calib.fx
+        y = (pts[:, 0] - self.calib.cy) * z / self.calib.fy
+        return np.stack([x, y, z], -1).astype(np.float32), ok
+
+    def _make_keyframe(self, pts, desc, valid, disp) -> _Keyframe:
+        X, ok = self._backproject(pts, disp)
+        node = self.graph.add_keyframe(self.pose)
+        return _Keyframe(node, pts, desc, X, valid & ok)
+
+    # ------------------------------------------------------------------
+    def step(self, left: np.ndarray, right: np.ndarray) -> np.ndarray:
+        """Process one rectified pair; returns the current world pose."""
+        from tpustereo.api import match_pair  # local import to avoid cycle
+        disp = match_pair(left, right, self.cfg)
+        pts, desc, valid = self._features(left)
+        self._frames += 1
+
+        if self.kf is None:
+            self.kf = self._make_keyframe(pts, desc, valid, disp)
+            self._traj.append(self.pose.copy())
+            return self.pose
+
+        idx_b, good = match_descriptors(
+            jnp.asarray(self.kf.desc), jnp.asarray(desc),
+            jnp.asarray(self.kf.valid), jnp.asarray(valid),
+            min_similarity=self.ocfg.min_similarity)
+        idx_b, good = np.asarray(idx_b), np.asarray(good)
+        w = (good & self.kf.valid).astype(np.float32)
+        n_matches = int(w.sum())
+
+        u = pts[idx_b][:, ::-1].astype(np.float32)  # (K, 2) [x, y] pixels
+        T, _res = gauss_newton_pose(jnp.asarray(self.kf.X), jnp.asarray(u),
+                                    jnp.asarray(w), self._intr,
+                                    iters=self.ocfg.gn_iters)
+        T = np.asarray(T)  # kf cam -> current cam
+        kf_pose = self.graph.poses[self.kf.index]
+        self.pose = (kf_pose @ np.asarray(inv_se3(jnp.asarray(T)))).astype(np.float32)
+        self._traj.append(self.pose.copy())
+
+        trans = float(np.linalg.norm(T[:3, 3]))
+        rot = float(np.arccos(np.clip((np.trace(T[:3, :3]) - 1) / 2, -1, 1)))
+        if (trans > self.ocfg.keyframe_translation
+                or rot > self.ocfg.keyframe_rotation
+                or n_matches < self.ocfg.keyframe_min_matches):
+            new_kf = self._make_keyframe(pts, desc, valid, disp)
+            self.graph.add_edge(self.kf.index, new_kf.index,
+                                np.asarray(inv_se3(jnp.asarray(T))),
+                                weight=min(1.0, n_matches / 100.0))
+            self.kf = new_kf
+            if len(self.graph.poses) % self.ocfg.optimize_every == 0:
+                self.graph.optimize()
+                self.pose = self.graph.poses[self.kf.index].copy()
+        return self.pose
+
+    # ------------------------------------------------------------------
+    def trajectory(self) -> np.ndarray:
+        return np.stack(self._traj) if self._traj else np.zeros((0, 4, 4))
+
+    # --- checkpoint / resume (SURVEY.md §5.4) --------------------------
+    def save(self, path: str) -> None:
+        assert self.kf is not None, "nothing to checkpoint yet"
+        self.graph.save(path, extra=dict(
+            kf_index=np.int64(self.kf.index), kf_pts=self.kf.pts,
+            kf_desc=self.kf.desc, kf_X=self.kf.X, kf_valid=self.kf.valid,
+            cur_pose=self.pose, frames=np.int64(self._frames),
+            traj=self.trajectory()))
+
+    @classmethod
+    def resume(cls, path: str, calib: KittiCalib, cfg: Optional[Config] = None,
+               ocfg: Optional[OdometryConfig] = None) -> "StereoOdometry":
+        graph, extra = PoseGraph.load(path)
+        self = cls(calib, cfg, ocfg)
+        self.graph = graph
+        self.kf = _Keyframe(int(extra["kf_index"]), extra["kf_pts"],
+                            extra["kf_desc"], extra["kf_X"], extra["kf_valid"])
+        self.pose = extra["cur_pose"]
+        self._frames = int(extra["frames"])
+        self._traj = [p for p in extra["traj"]]
+        return self

@@ -1,0 +1,61 @@
+"""End-to-end stereo pipelines: one pure function per mode, everything under
+a single `jax.jit` region (SURVEY.md §4.1). `cfg` is static (hashable frozen
+dataclass) so each operating point compiles once.
+
+Stage sequencing mirrors `golden.sgbm_numpy` exactly:
+cost -> aggregate -> WTA(+uniqueness+subpixel) -> LR check -> speckle ->
+invalidate -> median3. Invalid disparity = -1.0 (float32 output).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tpustereo.config import Config
+from tpustereo.ops import (aggregate, census, cost_volume, lr_check, median3,
+                           sad_volume, speckle, wta)
+
+INVALID = jnp.float32(-1.0)
+
+
+def sgbm_volume(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """The aggregated cost volume S for (left, right); (H, W, D) int16/int32."""
+    if cfg.mode == "sad":
+        return sad_volume(left, right, cfg.num_disparities, cfg.sad_block)
+    cl = census(left, cfg.census_window)
+    cr = census(right, cfg.census_window)
+    C = cost_volume(cl, cr, cfg.num_disparities, cfg.max_census_cost)
+    if cfg.mode == "census_wta":
+        return C.astype(jnp.int16)
+    return aggregate(C, cfg, left)
+
+
+def _select_and_refine(S: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    disp, d_int, valid = wta(S, cfg)
+    valid &= lr_check(S, disp, cfg)
+    valid = speckle(disp, valid, cfg)
+    disp = jnp.where(valid, disp, INVALID)
+    if cfg.median_filter:
+        disp = median3(disp)
+    return disp
+
+
+@partial(jax.jit, static_argnames="cfg")
+def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """Single-pair pipeline: (H, W) uint8 ×2 -> (H, W) float32 disparity."""
+    with jax.named_scope("sgbm_volume"):
+        S = sgbm_volume(left, right, cfg)
+    with jax.named_scope("select_refine"):
+        return _select_and_refine(S, cfg)
+
+
+@partial(jax.jit, static_argnames="cfg")
+def sgbm_batched(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """Batched pipeline: (B, H, W) uint8 ×2 -> (B, H, W) float32.
+
+    vmapped over the batch; under pjit the batch axis shards over the mesh
+    'data' axis (SURVEY.md §4.2)."""
+    return jax.vmap(lambda l, r: sgbm.__wrapped__(l, r, cfg))(left, right)
