@@ -12,6 +12,21 @@ hilbertw/stereo_matching is empty — see SURVEY.md §0 — so parity is defined
 against the golden NumPy/OpenCV oracle chain in `tpustereo.golden`).
 """
 
+import os as _os
+
 from tpustereo.config import Config, PRESETS  # noqa: F401
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache — compile-once across processes.
+    Called lazily by the API/CLI; safe to call before or after jax import
+    (it only sets jax.config values)."""
+    import jax
+
+    path = path or _os.environ.get("TPUSTEREO_CACHE_DIR",
+                                   "/tmp/tpustereo_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -12,7 +12,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import tpustereo
 from tpustereo.config import Config
+
+tpustereo.enable_compilation_cache()
 from tpustereo.pipeline import sgbm, sgbm_batched
 
 
