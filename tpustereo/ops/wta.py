@@ -1,12 +1,22 @@
 """WTA disparity selection + uniqueness + subpixel parabola fit, pure jnp.
 
 Mirrors `golden.wta_numpy` exactly (same tie-breaking, same uniqueness and
-clamping conventions — SURVEY.md §1.1). The Pallas version fuses this with
-the last aggregation sweep; this is the fallback/parity target.
+clamping conventions — SURVEY.md §1.1), formulated gather-free for TPU:
+
+* argmin via a single packed (value*256 + d) min-reduce — ties break toward
+  the smallest d exactly like np.argmin;
+* the S(d*±1) lookups for the parabola fit via per-plane static slices
+  selected on d* (XLA fuses the D selects into one pass over the volume)
+  instead of `take_along_axis` gathers, which XLA lowers catastrophically
+  on TPU (measured ~20 ms/lookup at KITTI size vs <1 ms for the fused pass).
+
+The Pallas version fuses this with the last aggregation sweep; this is the
+fallback/parity target.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tpustereo.config import Config
@@ -18,25 +28,32 @@ def wta(S: jnp.ndarray, cfg: Config):
     """S: (H, W, D) int -> (disp float32, d_int int32, valid bool)."""
     H, W, D = S.shape
     Si = S.astype(jnp.int32)
-    d_int = jnp.argmin(Si, axis=-1).astype(jnp.int32)
-    best = jnp.min(Si, axis=-1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (H, W, D), 2)
+    # packed min: value in the high bits, d in the low 8 (first-min ties)
+    m = jnp.min(Si * 256 + iota, axis=-1)
+    best = m >> 8
+    d_int = m & 255
     valid = jnp.ones((H, W), bool)
 
     if cfg.uniqueness_ratio > 0:
-        dd = jnp.arange(D)[None, None, :]
-        masked = jnp.where(jnp.abs(dd - d_int[..., None]) <= 1, _BIG, Si)
+        masked = jnp.where(jnp.abs(iota - d_int[..., None]) <= 1, _BIG, Si)
         second = masked.min(axis=-1)
         valid &= ~(second * 100 < best * (100 + cfg.uniqueness_ratio))
 
     disp = d_int.astype(jnp.float32)
     if cfg.subpixel:
-        dm = jnp.clip(d_int - 1, 0, D - 1)
-        dp = jnp.clip(d_int + 1, 0, D - 1)
-        sm = jnp.take_along_axis(Si, dm[..., None], -1)[..., 0].astype(jnp.float32)
-        sp = jnp.take_along_axis(Si, dp[..., None], -1)[..., 0].astype(jnp.float32)
+        # S at d*-1 / d*+1 (clamped) via fused per-plane selects
+        sm = jnp.zeros((H, W), jnp.int32)
+        sp = jnp.zeros((H, W), jnp.int32)
+        for d in range(D):
+            plane = Si[:, :, d]
+            sm = jnp.where(jnp.maximum(d_int - 1, 0) == d, plane, sm)
+            sp = jnp.where(jnp.minimum(d_int + 1, D - 1) == d, plane, sp)
+        smf = sm.astype(jnp.float32)
+        spf = sp.astype(jnp.float32)
         s0 = best.astype(jnp.float32)
-        denom = sm - 2.0 * s0 + sp
-        offs = jnp.where(denom > 0, (sm - sp) / jnp.maximum(2.0 * denom, 1e-9), 0.0)
+        denom = smf - 2.0 * s0 + spf
+        offs = jnp.where(denom > 0, (smf - spf) / jnp.maximum(2.0 * denom, 1e-9), 0.0)
         offs = jnp.clip(offs, -0.5, 0.5)
         interior = (d_int > 0) & (d_int < D - 1)
         disp = disp + jnp.where(interior, offs, 0.0)
