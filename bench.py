@@ -7,50 +7,32 @@ Prints ONE JSON line:
 vs_baseline is against the measured OpenCV CPU proxy (2.72 fps, BASELINE.md —
 the reference publishes no numbers and its checkout is empty, SURVEY.md §0/§6).
 
-Run on the real TPU chip; honest timing: warmup compile excluded,
-block_until_ready inside the timed loop.
+Honest timing on the tunnelled dev chip: the whole timed loop runs inside
+one XLA program (lax.fori_loop with a loop-carried input tweak), so neither
+dispatch latency nor the tunnel round-trip (~30-45 ms, and block_until_ready
+does not actually block there) can pollute the number; compile/warmup is a
+separate prior call.
 """
 
 import json
-import time
 import sys
-
-import numpy as np
-
-BASELINE_FPS = 2.72  # OpenCV StereoSGBM MODE_HH, 1 CPU thread (BASELINE.md)
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
+    import tpustereo
+    tpustereo.enable_compilation_cache()
     from tpustereo.config import PRESETS
-    from tpustereo.pipeline import sgbm_batched
-    from tpustereo.data.synthetic import synthetic_pair
+    from tpustereo.eval.bench import run_benchmark
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    H, W = 375, 1242
-    cfg = PRESETS["kitti_sgm8"].replace(batch_size=batch)
-
-    L, R, _, _ = synthetic_pair((H, W), disparity=40.0, slope=0.02, seed=0)
-    lefts = jnp.asarray(np.stack([L] * batch))
-    rights = jnp.asarray(np.stack([R] * batch))
-
-    out = sgbm_batched(lefts, rights, cfg)  # warmup + compile
-    out.block_until_ready()
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = sgbm_batched(lefts, rights, cfg)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-
-    fps = batch * iters / dt
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    cfg = PRESETS["kitti_sgm8"]
+    record = run_benchmark(cfg, shape=(375, 1242), batch=batch, iters=iters)
     print(json.dumps({
-        "metric": "SGM 8-path full pipeline fps/chip (KITTI 1242x375, D=128)",
-        "value": round(fps, 3),
-        "unit": "fps/chip",
-        "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": record["unit"],
+        "vs_baseline": record["vs_baseline"],
     }))
 
 

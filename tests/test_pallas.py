@@ -1,0 +1,92 @@
+"""Pallas kernel parity tests — interpret mode on CPU (SURVEY.md §7 step 4):
+the kernels must be bit-exact vs the pure-jnp ops, which are themselves
+bit-exact vs the golden NumPy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpustereo.config import Config
+from tpustereo.ops import aggregate, census, cost_volume
+from tpustereo.kernels import aggregate_pallas
+from tpustereo.pipeline import sgbm
+
+
+def _volume(pair, cfg):
+    L, R, _, _ = pair
+    cl = census(jnp.asarray(L), cfg.census_window)
+    cr = census(jnp.asarray(R), cfg.census_window)
+    return cost_volume(cl, cr, cfg.num_disparities, cfg.max_census_cost)
+
+
+@pytest.mark.parametrize("paths", [4, 8])
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_aggregate_pallas_bit_exact(small_pair, paths, adaptive):
+    cfg = Config(num_disparities=32, paths=paths, adaptive_p2=adaptive)
+    C = _volume(small_pair, cfg)
+    img = jnp.asarray(small_pair[0])
+    S_ref = np.asarray(aggregate(C, cfg, img))
+    S_pal = np.asarray(aggregate_pallas(C, cfg, img, interpret=True))
+    np.testing.assert_array_equal(S_ref, S_pal)
+
+
+def test_aggregate_pallas_unaligned_shapes(rng):
+    """Non-multiple-of-tile H/W and D<128 exercise the padding/masking."""
+    H, W, D = 21, 45, 16
+    C = jnp.asarray(rng.integers(0, 25, (H, W, D), dtype=np.uint8))
+    img = jnp.asarray(rng.integers(0, 256, (H, W), dtype=np.uint8))
+    cfg = Config(num_disparities=D, paths=8, p1=7, p2=90)
+    np.testing.assert_array_equal(
+        np.asarray(aggregate(C, cfg, img)),
+        np.asarray(aggregate_pallas(C, cfg, img, interpret=True)))
+
+
+def test_pipeline_backend_pallas_matches_jnp(small_pair):
+    """Full pipeline with backend='pallas' (interpret on CPU) == 'jnp'."""
+    L, R, _, _ = small_pair
+    l8, r8 = jnp.asarray(L), jnp.asarray(R)
+    cfg = Config(num_disparities=32, paths=8)
+    a = np.asarray(sgbm(l8, r8, cfg.replace(backend="jnp")))
+    b = np.asarray(sgbm(l8, r8, cfg.replace(backend="pallas")))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("uniq,subpix,lrmax", [(10, True, 1), (0, False, -1),
+                                               (10, True, 2), (5, False, 0)])
+def test_wta_lr_pallas_bit_exact(small_pair, uniq, subpix, lrmax):
+    from tpustereo.ops import lr_check, wta
+    from tpustereo.kernels import wta_lr_pallas
+    cfg = Config(num_disparities=32, paths=8, uniqueness_ratio=uniq,
+                 subpixel=subpix, disp12_max_diff=lrmax)
+    C = _volume(small_pair, cfg)
+    img = jnp.asarray(small_pair[0])
+    S = aggregate(C, cfg, img)
+    d_ref, _, v_ref = wta(S, cfg)
+    v_ref = v_ref & lr_check(S, d_ref, cfg)
+    d_p, v_p = wta_lr_pallas(S, cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(d_p))
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_p))
+
+
+@pytest.mark.parametrize("D", [32, 64])
+def test_census_cost_volume_pallas_bit_exact(small_pair, D):
+    from tpustereo.kernels import census_cost_volume_pallas
+    L, R, _, _ = small_pair
+    l8, r8 = jnp.asarray(L), jnp.asarray(R)
+    ref = np.asarray(cost_volume(census(l8), census(r8), D, 24))
+    pal = np.asarray(census_cost_volume_pallas(l8, r8, D, 24, interpret=True))
+    np.testing.assert_array_equal(ref, pal)
+
+
+def test_wta_lr_pallas_unaligned(rng):
+    """Odd H/W and D<128 exercise padding/masking in the fused kernel."""
+    from tpustereo.ops import lr_check, wta
+    from tpustereo.kernels import wta_lr_pallas
+    H, W, D = 19, 43, 16
+    S = jnp.asarray(rng.integers(0, 1000, (H, W, D)).astype(np.int16))
+    cfg = Config(num_disparities=D)
+    d_ref, _, v_ref = wta(S, cfg)
+    v_ref = v_ref & lr_check(S, d_ref, cfg)
+    d_p, v_p = wta_lr_pallas(S, cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(d_p))
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_p))

@@ -33,7 +33,19 @@ def write_image(path: str, img: np.ndarray) -> None:
 
 def read_pfm(path: str) -> np.ndarray:
     """Read a PFM file -> float32 (H, W) or (H, W, 3). Rows are stored
-    bottom-up in PFM; we return top-down."""
+    bottom-up in PFM; we return top-down. Uses the native C++ codec
+    (native/tpustereo_native.cc) when built; this Python path is the
+    fallback and parity target."""
+    from tpustereo import native
+    if native.available():
+        try:
+            return native.read_pfm(path)
+        except IOError:
+            pass  # fall through for precise Python-level errors
+    return _read_pfm_py(path)
+
+
+def _read_pfm_py(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         header = f.readline().strip()
         if header not in (b"PF", b"Pf"):

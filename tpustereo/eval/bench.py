@@ -26,14 +26,51 @@ def _git_sha() -> str:
 
 
 def _time_fn(fn, iters: int) -> float:
-    """Seconds per call, warmup excluded, device-synchronised."""
+    """Seconds per call, warmup excluded, host-synchronised.
+
+    NB on the axon-tunnelled dev chip `block_until_ready` does not actually
+    block; only a host transfer synchronises. The scalar fetch per batch of
+    calls keeps the tunnel round-trip (~30-45 ms) out of the per-call
+    number only when amortised — prefer `_timed_device_loop` for kernels.
+    """
     import jax
-    out = fn()
-    jax.block_until_ready(out)
+    import jax.numpy as jnp
+
+    def sync(x):
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32)))
+
+    sync(fn())
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
-    jax.block_until_ready(out)
+    sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _timed_device_loop(fn, *args, iters: int = 20) -> float:
+    """Seconds per call of fn(*args), amortised inside ONE XLA program so
+    dispatch/tunnel latency cannot pollute the number. A per-iteration tweak
+    of one input element creates a loop-carried dependency (defeats CSE)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def many(*a):
+        first = a[0]
+
+        def body(i, acc):
+            flat = first.reshape(-1)
+            tweaked = flat.at[0].set((i % 7).astype(flat.dtype)).reshape(first.shape)
+            out = fn(tweaked, *a[1:])
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return acc + leaf.astype(jnp.float32).sum()
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    float(many(*args))  # compile + warmup
+    t0 = time.perf_counter()
+    float(many(*args))
     return (time.perf_counter() - t0) / iters
 
 
@@ -47,35 +84,40 @@ def stage_times(left, right, cfg: Config, iters: int = 5) -> Dict[str, float]:
     from tpustereo.ops import aggregate, census, cost_volume, lr_check, \
         median3, speckle, wta
 
+    from tpustereo.pipeline.sgbm import _pallas_mode
+
     l8, r8 = jnp.asarray(left), jnp.asarray(right)
     ms: Dict[str, float] = {}
+    n = iters
 
-    cen = jax.jit(partial(census, window=cfg.census_window))
-    cl = cen(l8)
-    ms["census"] = _time_fn(lambda: cen(l8), iters) * 1e3 * 2  # both images
-    cr = cen(r8)
+    ms["census"] = _timed_device_loop(
+        partial(census, window=cfg.census_window), l8, iters=n) * 1e3 * 2
+    cl, cr = census(l8, cfg.census_window), census(r8, cfg.census_window)
 
-    vol = jax.jit(partial(cost_volume, num_disp=cfg.num_disparities,
-                          max_cost=cfg.max_census_cost))
-    C = vol(cl, cr)
-    ms["cost_volume"] = _time_fn(lambda: vol(cl, cr), iters) * 1e3
+    vol = partial(cost_volume, num_disp=cfg.num_disparities,
+                  max_cost=cfg.max_census_cost)
+    C = jax.jit(vol)(cl, cr)
+    ms["cost_volume"] = _timed_device_loop(vol, cl, cr, iters=n) * 1e3
 
-    agg = jax.jit(partial(aggregate, cfg=cfg))
-    S = agg(C, img=l8)
-    ms["aggregate"] = _time_fn(lambda: agg(C, img=l8), iters) * 1e3
+    mode = _pallas_mode(cfg)
+    if mode != "off":
+        from tpustereo.kernels import aggregate_pallas
+        agg = partial(aggregate_pallas, cfg=cfg, img=l8,
+                      interpret=(mode == "interpret"))
+    else:
+        agg = partial(aggregate, cfg=cfg, img=l8)
+    S = jax.jit(agg)(C)
+    ms["aggregate"] = _timed_device_loop(agg, C, iters=n) * 1e3
 
-    wta_j = jax.jit(partial(wta, cfg=cfg))
-    disp, d_int, valid = wta_j(S)
-    ms["wta_subpixel"] = _time_fn(lambda: wta_j(S), iters) * 1e3
+    disp, d_int, valid = jax.jit(partial(wta, cfg=cfg))(S)
+    ms["wta_subpixel"] = _timed_device_loop(
+        lambda s: wta(s, cfg)[0], S, iters=n) * 1e3
 
-    lr = jax.jit(partial(lr_check, cfg=cfg))
-    ms["lr_check"] = _time_fn(lambda: lr(S, disp), iters) * 1e3
-
-    spk = jax.jit(partial(speckle, cfg=cfg))
-    ms["speckle"] = _time_fn(lambda: spk(disp, valid), iters) * 1e3
-
-    med = jax.jit(median3)
-    ms["median3"] = _time_fn(lambda: med(disp), iters) * 1e3
+    ms["lr_check"] = _timed_device_loop(
+        lambda s: lr_check(s, disp, cfg), S, iters=n) * 1e3
+    ms["speckle"] = _timed_device_loop(
+        lambda d: speckle(d, valid, cfg), disp, iters=n) * 1e3
+    ms["median3"] = _timed_device_loop(median3, disp, iters=n) * 1e3
     return {k: round(v, 3) for k, v in ms.items()}
 
 
@@ -100,11 +142,14 @@ def run_benchmark(cfg: Config, shape: Tuple[int, int] = (375, 1242),
         mesh = mesh or make_mesh(data=1, strip=n_devices)
         strip = mesh.shape["strip"]
         cfg = cfg.replace(strips=strip, batch_size=batch)
-        sec = _time_fn(lambda: sgbm_tiled_batched(lefts, rights, cfg, mesh), iters)
+        sec = _timed_device_loop(
+            lambda l, r: sgbm_tiled_batched(l, r, cfg, mesh),
+            lefts, rights, iters=iters)
         chips = mesh.size
     else:
         cfg = cfg.replace(batch_size=batch)
-        sec = _time_fn(lambda: sgbm_batched(lefts, rights, cfg), iters)
+        sec = _timed_device_loop(
+            lambda l, r: sgbm_batched(l, r, cfg), lefts, rights, iters=iters)
         chips = 1
 
     fps = batch / sec

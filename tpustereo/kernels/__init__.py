@@ -1,0 +1,14 @@
+"""Pallas TPU kernels for the hot ops (SURVEY.md §3 #3-6, §7 step 4).
+
+These are the TPU-native equivalents of the reference family's C++ CPU
+kernels: compiled by Mosaic to TPU machine code, with the pure-jnp modules
+in `tpustereo.ops` as always-correct fallbacks and parity targets. Kernel
+selection is driven by `Config.backend` ('auto' picks Pallas on TPU).
+"""
+
+from tpustereo.kernels.sgm_pallas import (  # noqa: F401
+    aggregate_pallas,
+    sgm_sweep,
+)
+from tpustereo.kernels.wta_pallas import wta_lr_pallas  # noqa: F401
+from tpustereo.kernels.cost_pallas import census_cost_volume_pallas  # noqa: F401

@@ -1,0 +1,208 @@
+"""SGM path aggregation as Pallas TPU scan kernels — the hot loop
+(SURVEY.md §3 #5, §7 step 4).
+
+Why a kernel: the recurrence is sequential along the scan axis, and XLA's
+`lax.scan` pays a fixed per-step cost (dispatch + carry HBM round-trip +
+output dynamic-update) that dominates at KITTI scale (~48 ms for the 8
+directions, measured). Here one Pallas grid step consumes one scanline slab
+from a double-buffered VMEM pipeline while the (K, N, D) carry lives in VMEM
+scratch across grid steps, so the whole directional sweep is a single fused
+on-core loop.
+
+Layout (SURVEY.md §7 hard parts): D (disparity) rides the 128-lane minor
+dimension; the perpendicular image axis N fills sublanes; the scan axis T is
+the grid. A sweep processes every direction with the same scan-axis sign at
+once (e.g. S, SE, SW going down): diagonals differ only by an in-carry
+sublane shift dx, so they share the C slab load and the S accumulation.
+The four sweeps (down, up over rows of C; forward, backward over rows of
+C^T) accumulate S in place via input/output aliasing — the full 8-path
+aggregation reads C twice + C^T twice and writes/reads S once per sweep.
+
+Bit-exact vs `ops.sgm.aggregate` / `golden.aggregate_numpy`: the uniform-BIG
+carry initialisation renormalises to L = C at path starts, identical to the
+jnp fallback's explicit masking (see `_ring_path` for the same trick).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpustereo.config import Config
+
+_BIG = 1 << 24
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _roll(x, shift: int, axis: int):
+    """Circular shift; pltpu.roll only takes non-negative shifts."""
+    return pltpu.roll(x, shift % x.shape[axis], axis=axis)
+
+
+def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real,
+                  has_s_in, has_p2m):
+    """One grid step = one scanline. rest = ([s_ref], [p2_ref], out_ref,
+    carry_ref) depending on flags."""
+    idx = 0
+    s_ref = rest[idx] if has_s_in else None
+    idx += 1 if has_s_in else 0
+    p2_ref = rest[idx] if has_p2m else None
+    idx += 1 if has_p2m else 0
+    out_ref = rest[idx]
+    carry_ref = rest[idx + 1]
+
+    t = pl.program_id(0)
+    N, D = carry_ref.shape[1], carry_ref.shape[2]
+
+    @pl.when(t == 0)
+    def _():
+        carry_ref[...] = jnp.full(carry_ref.shape, _BIG, jnp.int32)
+
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 0)
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
+
+    c = c_ref[0].astype(jnp.int32)
+    if d_real < D:  # padded disparity lanes act as +inf hypotheses
+        c = jnp.where(lane_idx >= d_real, _BIG, c)
+
+    total = None
+    for k, dx in enumerate(dxs):
+        prev = carry_ref[k]
+        if dx != 0:
+            prev = _roll(prev, dx, axis=0)
+        # rows whose predecessor (n - dx) falls outside [0, n_real) start a
+        # fresh path: uniform BIG carry renormalises to L = C below.
+        invalid = (row_idx < dx) | (row_idx >= n_real + dx)
+        prev = jnp.where(invalid, _BIG, prev)
+
+        minprev = jnp.min(prev, axis=1, keepdims=True)
+        up = _roll(prev, -1, axis=1)
+        up = jnp.where(lane_idx == D - 1, _BIG, up)
+        dn = _roll(prev, 1, axis=1)
+        dn = jnp.where(lane_idx == 0, _BIG, dn)
+        if p2_ref is not None:
+            p2 = p2_ref[0, :, k:k + 1]
+        else:
+            p2 = p2_const
+        cand = jnp.minimum(prev, jnp.minimum(up, dn) + p1)
+        cand = jnp.minimum(cand, minprev + p2)
+        L = c + cand - minprev
+        carry_ref[k] = L
+        total = L if total is None else total + L
+
+    out = total.astype(jnp.int16)
+    if s_ref is not None:
+        out = out + s_ref[0]
+    out_ref[0] = out
+
+
+def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
+              p1: int, p2: int, n_real: int, d_real: int,
+              p2_maps: jnp.ndarray | None = None,
+              interpret: bool = False) -> jnp.ndarray:
+    """One directional sweep over axis 0 of C (T, N, D) -> S (T, N, D) int16.
+
+    dxs: in-carry sublane shift per fused direction (0 axial, ±1 diagonal).
+    reverse: scan rows T-1..0 (up/backward paths). S_in, if given, is
+    accumulated into (aliased in-place). p2_maps: (T, N, K) int32 for
+    adaptive P2, else the scalar `p2` applies.
+    """
+    T, N, D = C.shape
+    K = len(dxs)
+    assert D % 128 == 0 and N % 8 == 0, (N, D)
+
+    def imap(t):
+        return (T - 1 - t, 0, 0) if reverse else (t, 0, 0)
+
+    in_specs = [pl.BlockSpec((1, N, D), imap, memory_space=pltpu.VMEM)]
+    operands = [C]
+    aliases = {}
+    if S_in is not None:
+        in_specs.append(pl.BlockSpec((1, N, D), imap, memory_space=pltpu.VMEM))
+        operands.append(S_in)
+        aliases = {1: 0}
+    if p2_maps is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, N, K), (lambda t: (T - 1 - t, 0, 0)) if reverse else (lambda t: (t, 0, 0)),
+            memory_space=pltpu.VMEM))
+        operands.append(p2_maps)
+
+    kernel = functools.partial(
+        _sweep_kernel, dxs=tuple(dxs), p1=p1, p2_const=p2, n_real=n_real,
+        d_real=d_real, has_s_in=S_in is not None, has_p2m=p2_maps is not None)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, N, D), imap, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, N, D), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((K, N, D), jnp.int32)],
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(*operands)
+
+
+# ---------------------------------------------------------------------------
+# full 8/4-path aggregation
+# ---------------------------------------------------------------------------
+
+def _p2_stack(img: jnp.ndarray, dirs, cfg: Config, transposed: bool,
+              T_pad: int, N_pad: int) -> jnp.ndarray | None:
+    """(T, N, K) adaptive-P2 maps for the fused directions, padded."""
+    if not cfg.adaptive_p2:
+        return None
+    from tpustereo.ops.sgm import p2_map
+    maps = []
+    for dy, dx in dirs:
+        m = p2_map(img, dy, dx, cfg)
+        maps.append(m.T if transposed else m)
+    st = jnp.stack(maps, axis=-1).astype(jnp.int32)
+    return jnp.pad(st, ((0, T_pad - st.shape[0]), (0, N_pad - st.shape[1]),
+                        (0, 0)))
+
+
+def aggregate_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
+    """S = Σ_r L_r over 4/8 directions; (H, W, D) int16.
+
+    Drop-in replacement for `ops.sgm.aggregate` (bit-exact). Four fused
+    sweeps: down {S,SE,SW} and up {N,NE,NW} over C, forward {E} and backward
+    {W} over C^T; 4-path mode drops the diagonals from the vertical sweeps.
+    """
+    H, W, D = C.shape
+    Dp = _round_up(D, 128)
+    Wp = _round_up(W, 32)   # uint8 sublane tile
+    Hp = _round_up(H, 32)
+    p1, p2 = cfg.p1, cfg.p2
+
+    down = [(1, 0), (1, 1), (1, -1)] if cfg.paths == 8 else [(1, 0)]
+    up = [(-1, 0), (-1, 1), (-1, -1)] if cfg.paths == 8 else [(-1, 0)]
+    dxs_v = tuple(dx for _, dx in down)
+
+    # vertical + diagonal sweeps in (H, W, D); scan axis needs no padding
+    Cv = jnp.pad(C, ((0, 0), (0, Wp - W), (0, Dp - D)))
+    sweep = functools.partial(sgm_sweep, p1=p1, p2=p2, n_real=W, d_real=D,
+                              interpret=interpret)
+    S = sweep(Cv, None, dxs_v, False,
+              p2_maps=_p2_stack(img, down, cfg, False, H, Wp))
+    S = sweep(Cv, S, dxs_v, True,
+              p2_maps=_p2_stack(img, up, cfg, False, H, Wp))
+
+    # horizontal sweeps in transposed layout (W, H, D)
+    Ct = jnp.pad(C.transpose(1, 0, 2), ((0, 0), (0, Hp - H), (0, Dp - D)))
+    St = jnp.pad(S[:, :W].transpose(1, 0, 2), ((0, 0), (0, Hp - H), (0, 0)))
+    sweep_t = functools.partial(sgm_sweep, p1=p1, p2=p2, n_real=H, d_real=D,
+                                interpret=interpret)
+    St = sweep_t(Ct, St, (0,), False,
+                 p2_maps=_p2_stack(img, [(0, 1)], cfg, True, W, Hp))
+    St = sweep_t(Ct, St, (0,), True,
+                 p2_maps=_p2_stack(img, [(0, -1)], cfg, True, W, Hp))
+    return St[:W, :H, :D].transpose(1, 0, 2)

@@ -1,0 +1,145 @@
+"""Fused WTA + uniqueness + subpixel + LR-check Pallas kernel
+(SURVEY.md §3 #6-7, §7 step 4).
+
+Why: the jnp fallbacks express per-pixel lookups (S at d*±1, the LR diagonal
+S(y, x+d, d), d_R at x-d_L) as plane slices/selects over the (H, W, D)
+volume; with D on the minor dimension every plane slice re-reads whole
+tiles, so XLA executes them at a fraction of useful bandwidth (measured
+140 ms WTA + 79 ms LR at KITTI size). Here each grid step streams a
+(2, W, D) slab through VMEM once and computes everything in-register:
+
+* min + argmin via one packed (value*256 + d) lane-reduce (ties -> lowest
+  d, matching np.argmin);
+* uniqueness ratio via a masked second lane-reduce;
+* S(d*±1) via masked lane-reduces at the clamped neighbour index;
+* the LR diagonal S(y, x+d, d) via a log-shear — 7 lane-masked rolls along
+  x turn the diagonal into a lane-reduce (the shear trick of SURVEY.md §7,
+  applied to the re-index instead of the scan);
+* d_R(x - d_L) via the same shear on the broadcast d_R column.
+
+Mosaic constraints learned the hard way (kept here so they aren't
+rediscovered): vector rotates exist only for 32-bit element types (int16
+slabs fail with "Rotate with non-32-bit data"), reductions exist for int32
+but not int16, and int32 slabs at 8 rows/step blow the 16 MB scoped-VMEM
+budget — hence int32 slabs at 2 rows/step.
+
+Bit-exact vs `ops.wta` + `ops.lr_check` (and therefore the golden oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpustereo.config import Config
+
+_BIG = 1 << 20              # "infinite" but safe to pack (*256 fits int32)
+_ROWS = 2                   # rows per grid step (VMEM budget, see docstring)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _shear(slab: jnp.ndarray, lane: jnp.ndarray, up: bool) -> jnp.ndarray:
+    """Lane-dependent roll along axis 1: out[.., x, d] = slab[.., x+d, d]
+    (up) or slab[.., x-d, d] (down), wrapping mod W — callers mask the wrap.
+    pltpu.roll(x, s)[i] = x[i-s], so 'up' composes rolls of W - 2^b."""
+    W = slab.shape[1]
+    for b in range(7):  # D <= 128 => shifts 0..127
+        sh = (W - (1 << b)) % W if up else (1 << b)
+        rolled = pltpu.roll(slab, sh, axis=1)
+        slab = jnp.where(((lane >> b) & 1) == 1, rolled, slab)
+    return slab
+
+
+def _kernel(s_ref, disp_ref, valid_ref, *, cfg: Config, w_real: int,
+            d_real: int):
+    R, W, D = s_ref.shape
+    s = s_ref[...].astype(jnp.int32)                    # (R, W, D)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, W, D), 2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, W, 1), 1)
+    if d_real < D:
+        s = jnp.where(lane >= d_real, _BIG, s)
+
+    m = jnp.min(s * 256 + lane, axis=2, keepdims=True)  # (R, W, 1)
+    best = m >> 8
+    d_int = m & 255
+
+    valid = col < w_real
+    if cfg.uniqueness_ratio > 0:
+        masked = jnp.where(jnp.abs(lane - d_int) <= 1, _BIG * 256, s)
+        second = jnp.min(masked, axis=2, keepdims=True)
+        valid &= ~(second * 100 < best * (100 + cfg.uniqueness_ratio))
+
+    disp = d_int.astype(jnp.float32)
+    if cfg.subpixel:
+        dm = jnp.maximum(d_int - 1, 0)
+        dp = jnp.minimum(d_int + 1, d_real - 1)
+        sm = jnp.min(jnp.where(lane == dm, s, _BIG * 256), axis=2,
+                     keepdims=True)
+        sp = jnp.min(jnp.where(lane == dp, s, _BIG * 256), axis=2,
+                     keepdims=True)
+        smf, spf = sm.astype(jnp.float32), sp.astype(jnp.float32)
+        s0 = best.astype(jnp.float32)
+        denom = smf - 2.0 * s0 + spf
+        offs = jnp.where(denom > 0,
+                         (smf - spf) / jnp.maximum(2.0 * denom, 1e-9), 0.0)
+        offs = jnp.clip(offs, -0.5, 0.5)
+        interior = (d_int > 0) & (d_int < d_real - 1)
+        disp = disp + jnp.where(interior, offs, 0.0)
+
+    if cfg.disp12_max_diff >= 0:
+        # right-view WTA: d_R(x) = argmin_d S(x+d, d) via up-shear
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, (R, W, D), 1)
+        diag = _shear(s, lane, up=True)
+        diag = jnp.where(lane_w + lane > w_real - 1, _BIG, diag)
+        mr = jnp.min(diag * 256 + lane, axis=2, keepdims=True)
+        d_r = mr & 255                                   # (R, W, 1)
+        # d_R at x - d_L via down-shear of the broadcast d_R column
+        G = _shear(jnp.broadcast_to(d_r, (R, W, D)), lane, up=False)
+        G = jnp.where(lane_w - lane < 0, (1 << 12), G)
+        dl = jnp.round(disp).astype(jnp.int32)           # (R, W, 1)
+        dr_at = jnp.min(jnp.where(lane == dl, G, _BIG), axis=2, keepdims=True)
+        valid &= (col >= dl) & (jnp.abs(dl - dr_at) <= cfg.disp12_max_diff)
+
+    disp_ref[0] = disp[..., 0]
+    valid_ref[0] = valid[..., 0].astype(jnp.int32)
+
+
+def wta_lr_pallas(S: jnp.ndarray, cfg: Config, interpret: bool = False):
+    """S: (H, W, D) int -> (disp float32 (H, W), valid bool (H, W)).
+
+    Fuses `ops.wta` and `ops.lr_check` (bit-exact vs both); one pass over S.
+    """
+    H, W, D = S.shape
+    Dp = _round_up(D, 128)
+    Wp = _round_up(W, 16)
+    Hp = _round_up(H, _ROWS)
+    Sp = jnp.pad(S.astype(jnp.int16),
+                 ((0, Hp - H), (0, Wp - W), (0, Dp - D)))
+
+    kernel = functools.partial(_kernel, cfg=cfg, w_real=W, d_real=D)
+    G = Hp // _ROWS
+    # outputs are (G, R, Wp) so the block's trailing dims (R, Wp) equal the
+    # array dims (Mosaic's tiling rule); reshaped to (Hp, Wp) after.
+    disp, valid = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[pl.BlockSpec((_ROWS, Wp, Dp), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, _ROWS, Wp), lambda t: (t, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, _ROWS, Wp), lambda t: (t, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((G, _ROWS, Wp), jnp.float32),
+                   jax.ShapeDtypeStruct((G, _ROWS, Wp), jnp.int32)),
+        interpret=interpret,
+    )(Sp)
+    disp = disp.reshape(Hp, Wp)
+    valid = valid.reshape(Hp, Wp)
+    return disp[:H, :W], valid[:H, :W].astype(bool)

@@ -21,21 +21,56 @@ from tpustereo.ops import (aggregate, census, cost_volume, lr_check, median3,
 INVALID = jnp.float32(-1.0)
 
 
+def _pallas_mode(cfg: Config) -> str:
+    """'compiled' | 'interpret' | 'off' — backend dispatch (SURVEY.md §3).
+
+    'auto' uses the Mosaic-compiled Pallas kernels on TPU and pure jnp
+    elsewhere; 'pallas' forces the kernels (interpret mode off-TPU, for
+    tests); 'jnp' forces the fallback.
+    """
+    if cfg.backend == "jnp":
+        return "off"
+    try:
+        on_tpu = "TPU" in jax.devices()[0].device_kind
+    except RuntimeError:  # pragma: no cover
+        on_tpu = False
+    if cfg.backend == "pallas":
+        return "compiled" if on_tpu else "interpret"
+    return "compiled" if on_tpu else "off"
+
+
 def sgbm_volume(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """The aggregated cost volume S for (left, right); (H, W, D) int16/int32."""
     if cfg.mode == "sad":
         return sad_volume(left, right, cfg.num_disparities, cfg.sad_block)
-    cl = census(left, cfg.census_window)
-    cr = census(right, cfg.census_window)
-    C = cost_volume(cl, cr, cfg.num_disparities, cfg.max_census_cost)
+    mode = _pallas_mode(cfg)
+    interp = mode == "interpret"
+    if mode != "off" and cfg.census_bits <= 32:
+        from tpustereo.kernels import census_cost_volume_pallas
+        C = census_cost_volume_pallas(left, right, cfg.num_disparities,
+                                      cfg.max_census_cost, cfg.census_window,
+                                      interpret=interp)
+    else:
+        cl = census(left, cfg.census_window)
+        cr = census(right, cfg.census_window)
+        C = cost_volume(cl, cr, cfg.num_disparities, cfg.max_census_cost)
     if cfg.mode == "census_wta":
         return C.astype(jnp.int16)
+    if mode != "off":
+        from tpustereo.kernels import aggregate_pallas
+        return aggregate_pallas(C, cfg, left, interpret=interp)
     return aggregate(C, cfg, left)
 
 
 def _select_and_refine(S: jnp.ndarray, cfg: Config) -> jnp.ndarray:
-    disp, d_int, valid = wta(S, cfg)
-    valid &= lr_check(S, disp, cfg)
+    mode = _pallas_mode(cfg)
+    # SAD volumes can exceed int16 at large blocks; the kernel is int16-slab
+    if mode != "off" and (cfg.mode != "sad" or cfg.sad_block <= 11):
+        from tpustereo.kernels import wta_lr_pallas
+        disp, valid = wta_lr_pallas(S, cfg, interpret=(mode == "interpret"))
+    else:
+        disp, d_int, valid = wta(S, cfg)
+        valid &= lr_check(S, disp, cfg)
     valid = speckle(disp, valid, cfg)
     disp = jnp.where(valid, disp, INVALID)
     if cfg.median_filter:
