@@ -167,10 +167,16 @@ def _volume_local(left_loc, right_loc, cfg: Config):
     rows = jnp.arange(C.shape[0])[:, None, None]
     out_of_image = ((i == 0) & (rows < h)) | ((i == n - 1) & (rows >= C.shape[0] - h))
     C = jnp.where(out_of_image, jnp.uint8(0), C)
-    dirs = DIRS_4 if cfg.paths == 4 else DIRS_8
-    S = jnp.zeros(C.shape, jnp.int16)
-    for dy, dx in dirs:
-        S = S + aggregate_path(C, dy, dx, cfg, ext_l)
+    from tpustereo.pipeline.sgbm import _pallas_mode
+    mode = _pallas_mode(cfg)
+    if mode != "off":
+        from tpustereo.kernels import aggregate_pallas
+        S = aggregate_pallas(C, cfg, ext_l, interpret=(mode == "interpret"))
+    else:
+        dirs = DIRS_4 if cfg.paths == 4 else DIRS_8
+        S = jnp.zeros(C.shape, jnp.int16)
+        for dy, dx in dirs:
+            S = S + aggregate_path(C, dy, dx, cfg, ext_l)
     return S[h:S.shape[0] - h]
 
 

@@ -8,7 +8,9 @@ selection is driven by `Config.backend` ('auto' picks Pallas on TPU).
 
 from tpustereo.kernels.sgm_pallas import (  # noqa: F401
     aggregate_pallas,
+    sgm_select_pallas,
     sgm_sweep,
+    sweep_bwd_wta,
 )
 from tpustereo.kernels.wta_pallas import wta_lr_pallas  # noqa: F401
 from tpustereo.kernels.cost_pallas import census_cost_volume_pallas  # noqa: F401

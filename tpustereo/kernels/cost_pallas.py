@@ -1,20 +1,26 @@
 """Fused census transform + Hamming cost volume Pallas kernel
 (SURVEY.md §3 #3-4, §7 step 4).
 
-One pass: for each 8-row output block the kernel receives a 12-row image
-window (the 2-row census halo is pre-materialised as overlapping windows at
-the jnp level — a ~1.5 MB copy — because Mosaic cannot DMA-slice VMEM
-memrefs at sublane-unaligned dynamic offsets), builds the 24-bit census
-bitstrings for left and right in-register (24 shifted compares each), and
-materialises the cost slab C[x, d] = popcount(cenL[x] ^ cenR[x-d]) directly
-as the (8, W, D) output block — the (H, W) census planes never touch HBM.
-The x-d re-index uses the same log-shear as the WTA kernel (7 lane-masked
-rolls); popcount is SWAR bit-twiddling. The disparity slab work runs in two
-4-row sub-chunks to keep int32 temporaries inside the 16 MB VMEM budget.
+One pass: census bitstrings for left and right are built in-register (24
+shifted compares each) and the cost slab C[x, d] = popcount(cenL[x] ^
+cenR[x-d]) materialises directly as the output block — the census planes
+never touch HBM. The x-d re-index uses the same log-shear as the WTA kernel
+(lane-masked rolls); popcount is SWAR bit-twiddling with a shift-add fold.
 
-Supports census windows up to 32 bits (the standard 5×5 = 24); the jnp
-fallback (`ops.census` + `ops.cost_volume`) covers larger windows.
-Bit-exact vs the fallback and `golden.cost_volume_numpy`.
+Mosaic discipline (hard-won): the kernel contains NO in-kernel slicing at
+unaligned offsets — an earlier design sliced a 12-row VMEM window at row
+offsets 0..4 and silently read wrong data on chip (interpret mode was
+exact; compiled census undercounted on 90% of pixels). Instead the five
+row-shifted views needed by the 5-tall census window are pre-materialised
+at the jnp level as (G, R, Wq) arrays whose blocks ARE the needed rows
+(block trailing dims equal to array dims), and the column offsets happen
+via full-width `pltpu.roll` (margins guarantee no wrap into real lanes).
+The output is written full-block in the margin-bearing Wq frame and sliced
+by the caller.
+
+Supports census windows up to 32 bits and height <= 2*R+1; the jnp fallback
+(`ops.census` + `ops.cost_volume`) covers larger windows. Bit-exact vs the
+fallback and `golden.cost_volume_numpy`.
 """
 
 from __future__ import annotations
@@ -26,8 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ROWS = 8       # output rows per grid step
-_SUB = 4        # rows per in-kernel disparity sub-chunk
+_ROWS = 4
 
 
 def _round_up(x: int, m: int) -> int:
@@ -35,27 +40,30 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _popcount32(v: jnp.ndarray) -> jnp.ndarray:
-    """SWAR popcount on int32 (values used are <= 32 bits of census)."""
+    """SWAR popcount on int32 (values used are <= 32 bits of census).
+    Shift-add fold (no vector multiply)."""
     v = v - ((v >> 1) & 0x55555555)
     v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
     v = (v + (v >> 4)) & 0x0F0F0F0F
-    return (v * 0x01010101) >> 24
+    v = v + (v >> 8)
+    v = v + (v >> 16)
+    return v & 0x3F
 
 
-def _census_rows(buf: jnp.ndarray, ry: int, rx: int, R: int, W: int):
-    """(R+2ry, >=W+2rx) int32 rows -> (R, W) int32 census bitstrings.
-
-    Bit k (row-major over the window, centre excluded) set iff
-    neighbour < centre — the golden convention (sgbm_numpy.census_numpy).
-    """
-    center = buf[ry:ry + R, rx:rx + W]
-    out = jnp.zeros((R, W), jnp.int32)
+def _census_from_shifts(rows, rx: int) -> jnp.ndarray:
+    """rows: list over dy of (R, Wq) int32 row-planes (dy-shifted image);
+    returns (R, Wq) int32 census at every lane (margins produce junk that
+    callers never read). Column shifts via rolls — roll(x, s)[i] = x[i-s],
+    so neighbour col l+dx is roll by -dx."""
+    Wq = rows[0].shape[1]
+    center = rows[len(rows) // 2]
+    out = jnp.zeros(center.shape, jnp.int32)
     bit = 0
-    for dy in range(-ry, ry + 1):
+    for buf in rows:
         for dx in range(-rx, rx + 1):
-            if dy == 0 and dx == 0:
+            if buf is center and dx == 0:
                 continue
-            q = buf[ry + dy:ry + dy + R, rx + dx:rx + dx + W]
+            q = pltpu.roll(buf, (-dx) % Wq, axis=1)
             out = out | ((q < center).astype(jnp.int32) << bit)
             bit += 1
     return out
@@ -69,24 +77,22 @@ def _shear_down(slab: jnp.ndarray, lane: jnp.ndarray) -> jnp.ndarray:
     return slab
 
 
-def _kernel(l_ref, r_ref, out_ref, *, window, d_real, max_cost, Wp):
-    ry, rx = window[0] // 2, window[1] // 2
-    lbuf = l_ref[0].astype(jnp.int32)            # (R+2ry, Wq)
-    rbuf = r_ref[0].astype(jnp.int32)
-    cl = _census_rows(lbuf, ry, rx, _ROWS, Wp)   # (R, Wp) int32
-    cr = _census_rows(rbuf, ry, rx, _ROWS, Wp)
+def _kernel(*refs, n_dy, rx, d_real, max_cost, w_real):
+    l_refs = refs[:n_dy]
+    r_refs = refs[n_dy:2 * n_dy]
+    out_ref = refs[2 * n_dy]
+    cl = _census_from_shifts([r[0] for r in l_refs], rx)   # (R, Wq) int32
+    cr = _census_from_shifts([r[0] for r in r_refs], rx)
 
+    R, Wq = cl.shape
     D = out_ref.shape[2]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, Wp, D), 2)
-    col = jax.lax.broadcasted_iota(jnp.int32, (_SUB, Wp, D), 1)
-    for j in range(_ROWS // _SUB):
-        clj = cl[j * _SUB:(j + 1) * _SUB]
-        crj = cr[j * _SUB:(j + 1) * _SUB]
-        crs = _shear_down(jnp.broadcast_to(crj[..., None], (_SUB, Wp, D)),
-                          lane)
-        pc = _popcount32(clj[..., None] ^ crs)
-        pc = jnp.where((col - lane < 0) | (lane >= d_real), max_cost, pc)
-        out_ref[j * _SUB:(j + 1) * _SUB] = pc.astype(jnp.uint8)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, Wq, D), 2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, Wq, D), 1) - rx  # real x
+    crs = _shear_down(jnp.broadcast_to(cr[..., None], (R, Wq, D)), lane)
+    pc = _popcount32(cl[..., None] ^ crs)
+    pc = jnp.where((col - lane < 0) | (lane >= d_real) | (col >= w_real),
+                   max_cost, pc)
+    out_ref[...] = pc.astype(jnp.uint8)
 
 
 def census_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
@@ -103,32 +109,32 @@ def census_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
     ry, rx = ch // 2, cw // 2
     H, W = left.shape
     Dp = _round_up(num_disp, 128)
-    Wp = _round_up(W, 32)
     Hp = _round_up(H, _ROWS)
-    Wq = _round_up(Wp + 2 * rx, 128)
+    Wq = _round_up(W + 2 * rx, 128)
     G = Hp // _ROWS
-    win_rows = _ROWS + 2 * ry
 
     def prep(img):
-        # edge-replicate the window margins; zero-fill the tile padding;
-        # then materialise the G overlapping (win_rows, Wq) windows
+        """list over dy in [-ry, ry] of (G, R, Wq) int32 row-plane arrays.
+        int32 because Mosaic widens u8 as if signed (pixels >= 128 would
+        flip the compares); lane l = image col l - rx (margins edge-pad)."""
         p = jnp.pad(img, ((ry, ry + Hp - H), (rx, rx)), mode="edge")
-        p = jnp.pad(p, ((0, 0), (0, Wq - p.shape[1])))
-        return jnp.stack([p[t * _ROWS:t * _ROWS + win_rows] for t in range(G)])
+        p = jnp.pad(p, ((0, 0), (0, Wq - p.shape[1]))).astype(jnp.int32)
+        return [p[ry + dy: ry + dy + Hp].reshape(G, _ROWS, Wq)
+                for dy in range(-ry, ry + 1)]
 
-    lw, rw = prep(left), prep(right)
-    kernel = functools.partial(_kernel, window=window, d_real=num_disp,
-                               max_cost=max_cost, Wp=Wp)
+    operands = prep(left) + prep(right)
+    n_dy = 2 * ry + 1
+    spec = pl.BlockSpec((1, _ROWS, Wq), lambda t: (t, 0, 0),
+                        memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel, n_dy=n_dy, rx=rx, d_real=num_disp,
+                               max_cost=max_cost, w_real=W)
     C = pl.pallas_call(
         kernel,
         grid=(G,),
-        in_specs=[pl.BlockSpec((1, win_rows, Wq), lambda t: (t, 0, 0),
+        in_specs=[spec] * (2 * n_dy),
+        out_specs=pl.BlockSpec((_ROWS, Wq, Dp), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, win_rows, Wq), lambda t: (t, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((_ROWS, Wp, Dp), lambda t: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Hp, Wp, Dp), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((Hp, Wq, Dp), jnp.uint8),
         interpret=interpret,
-    )(lw, rw)
-    return C[:H, :W, :num_disp]
+    )(*operands)
+    return C[:H, rx:rx + W, :num_disp]

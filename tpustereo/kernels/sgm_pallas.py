@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpustereo.config import Config
 
 _BIG = 1 << 24
+_BIGPACK = 1 << 20   # 'infinite' in packed (value*256 + lane) int32 contexts
 
 
 def _round_up(x: int, m: int) -> int:
@@ -148,6 +149,197 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
         input_output_aliases=aliases,
         interpret=interpret,
     )(*operands)
+
+
+# ---------------------------------------------------------------------------
+# final backward sweep fused with WTA + incremental right-disparity
+# ---------------------------------------------------------------------------
+
+def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, n_real, d_real,
+                    w_real, has_p2m):
+    """Grid step t = column x = W-1-t (blocks arrive reversed): runs the W
+    (backward-horizontal) SGM step, completes S for this column, and does
+    WTA + uniqueness + subpixel immediately — S never returns to HBM. The
+    right-view disparity d_R(x) = argmin_d S(x+d, d) falls out of the same
+    backward order with a rolling packed-min carry: column x's diagonal has
+    received its d-th term at step x+d, so lane 0 completes exactly now
+    (no shear needed). Outputs are written one column-lane at a time into
+    (N, 128) blocks revisited for 128 consecutive steps."""
+    idx = 0
+    p2_ref = rest[idx] if has_p2m else None
+    idx += 1 if has_p2m else 0
+    disp_ref, valid_ref, dr_ref = rest[idx:idx + 3]
+    carry_ref, amin_ref = rest[idx + 3:idx + 5]
+
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    N, D = carry_ref.shape
+    x = T - 1 - t
+    lane = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+
+    @pl.when(t == 0)
+    def _():
+        carry_ref[...] = jnp.full((N, D), _BIG, jnp.int32)
+        amin_ref[...] = jnp.full((N, D), _BIGPACK * 256, jnp.int32)
+
+    c = c_ref[0].astype(jnp.int32)
+    if d_real < D:
+        c = jnp.where(lane >= d_real, _BIG, c)
+
+    # SGM backward-horizontal step (dx = 0)
+    prev = carry_ref[...]
+    minprev = jnp.min(prev, axis=1, keepdims=True)
+    up = _roll(prev, -1, axis=1)
+    up = jnp.where(lane == D - 1, _BIG, up)
+    dn = _roll(prev, 1, axis=1)
+    dn = jnp.where(lane == 0, _BIG, dn)
+    p2 = p2_ref[0, :, 0:1] if p2_ref is not None else p2_const
+    cand = jnp.minimum(prev, jnp.minimum(up, dn) + p1)
+    cand = jnp.minimum(cand, minprev + p2)
+    L = c + cand - minprev
+    carry_ref[...] = L
+
+    S = s_ref[0].astype(jnp.int32) + L                  # final S column (N, D)
+    if d_real < D:
+        S = jnp.where(lane >= d_real, _BIGPACK, S)
+    else:
+        # padded-lane L can reach ~2^24; clamp so packing cannot wrap
+        S = jnp.minimum(S, _BIGPACK)
+
+    packed = S * 256 + lane
+    m = jnp.min(packed, axis=1, keepdims=True)          # (N, 1)
+    best = m >> 8
+    d_int = m & 255
+
+    valid = row >= 0
+    if cfg.uniqueness_ratio > 0:
+        masked = jnp.where(jnp.abs(lane - d_int) <= 1, _BIGPACK * 256, S)
+        second = jnp.min(masked, axis=1, keepdims=True)
+        valid &= ~(second * 100 < best * (100 + cfg.uniqueness_ratio))
+
+    disp = d_int.astype(jnp.float32)
+    if cfg.subpixel:
+        dm = jnp.maximum(d_int - 1, 0)
+        dp = jnp.minimum(d_int + 1, d_real - 1)
+        sm = jnp.min(jnp.where(lane == dm, S, _BIGPACK * 256), axis=1,
+                     keepdims=True).astype(jnp.float32)
+        sp = jnp.min(jnp.where(lane == dp, S, _BIGPACK * 256), axis=1,
+                     keepdims=True).astype(jnp.float32)
+        s0 = best.astype(jnp.float32)
+        denom = sm - 2.0 * s0 + sp
+        offs = jnp.where(denom > 0,
+                         (sm - sp) / jnp.maximum(2.0 * denom, 1e-9), 0.0)
+        offs = jnp.clip(offs, -0.5, 0.5)
+        interior = (d_int > 0) & (d_int < d_real - 1)
+        disp = disp + jnp.where(interior, offs, 0.0)
+
+    # incremental right-view WTA: lane j of amin accumulates column x-j's
+    # diagonal; lane 0 is complete at this step
+    A = jnp.minimum(amin_ref[...], packed)
+    d_r = A[:, 0:1] & 255
+    A = _roll(A, -1, axis=1)
+    amin_ref[...] = jnp.where(lane == D - 1, _BIGPACK * 256, A)
+
+    # Mosaic cannot prove dynamic single-lane stores aligned; write via a
+    # lane-masked read-modify-write of the (N, 128) block instead (the block
+    # is revisited for 128 consecutive steps, so this stays in VMEM).
+    xm = x % 128
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)
+    hit = lane128 == xm
+    disp_ref[...] = jnp.where(hit, jnp.broadcast_to(disp, (N, 128)),
+                              disp_ref[...])
+    valid_ref[...] = jnp.where(hit,
+                               jnp.broadcast_to(valid.astype(jnp.int32),
+                                                (N, 128)), valid_ref[...])
+    dr_ref[...] = jnp.where(hit, jnp.broadcast_to(d_r, (N, 128)), dr_ref[...])
+
+
+def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
+                  w_real: int, d_real: int,
+                  p2_maps: jnp.ndarray | None = None,
+                  interpret: bool = False):
+    """Backward-horizontal sweep over Ct (W, N, D) + fused WTA.
+
+    St: partial path sums from the other 7 directions, same layout.
+    Returns (disp float32, valid bool-as-int32, d_r int32), each (N, Wx)
+    with Wx = W rounded up to 128 — callers slice columns [:w_real] and
+    transposed rows as needed.
+    """
+    T, N, D = Ct.shape
+    Wx = _round_up(T, 128)
+
+    def imap(t):
+        return (T - 1 - t, 0, 0)
+
+    def omap(t):
+        return (0, (T - 1 - t) // 128)
+
+    in_specs = [pl.BlockSpec((1, N, D), imap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, D), imap, memory_space=pltpu.VMEM)]
+    operands = [Ct, St]
+    if p2_maps is not None:
+        in_specs.append(pl.BlockSpec((1, N, 1), imap, memory_space=pltpu.VMEM))
+        operands.append(p2_maps)
+
+    kernel = functools.partial(
+        _bwd_wta_kernel, cfg=cfg, p1=cfg.p1, p2_const=cfg.p2, n_real=N,
+        d_real=d_real, w_real=w_real, has_p2m=p2_maps is not None)
+
+    disp, valid, d_r = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((N, 128), omap, memory_space=pltpu.VMEM),
+                   pl.BlockSpec((N, 128), omap, memory_space=pltpu.VMEM),
+                   pl.BlockSpec((N, 128), omap, memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((N, Wx), jnp.float32),
+                   jax.ShapeDtypeStruct((N, Wx), jnp.int32),
+                   jax.ShapeDtypeStruct((N, Wx), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((N, D), jnp.int32),
+                        pltpu.VMEM((N, D), jnp.int32)],
+        interpret=interpret,
+    )(*operands)
+    return disp, valid, d_r
+
+
+def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
+                      interpret: bool = False):
+    """Aggregation + WTA + uniqueness + subpixel + right-disparity, fully
+    fused: down/up/fwd sweeps accumulate S, the bwd sweep consumes it and
+    emits per-pixel outputs — the completed S volume never round-trips HBM.
+
+    Returns (disp float32 (H, W), valid bool (H, W), d_r int32 (H, W));
+    the d_L/d_R consistency comparison runs outside on the small maps
+    (`ops.postproc.dr_consistency`). Bit-exact integer outputs vs the jnp
+    ops; float disparity matches to ~1e-6 (Mosaic float rounding).
+    """
+    H, W, D = C.shape
+    Dp = _round_up(D, 128)
+    Wp = _round_up(W, 32)
+    Hp = _round_up(H, 32)
+    down = [(1, 0), (1, 1), (1, -1)] if cfg.paths == 8 else [(1, 0)]
+    up = [(-1, 0), (-1, 1), (-1, -1)] if cfg.paths == 8 else [(-1, 0)]
+    dxs_v = tuple(dx for _, dx in down)
+
+    Cv = jnp.pad(C, ((0, 0), (0, Wp - W), (0, Dp - D)))
+    sweep = functools.partial(sgm_sweep, p1=cfg.p1, p2=cfg.p2, n_real=W,
+                              d_real=D, interpret=interpret)
+    S = sweep(Cv, None, dxs_v, False,
+              p2_maps=_p2_stack(img, down, cfg, False, H, Wp))
+    S = sweep(Cv, S, dxs_v, True,
+              p2_maps=_p2_stack(img, up, cfg, False, H, Wp))
+
+    Ct = jnp.pad(C.transpose(1, 0, 2), ((0, 0), (0, Hp - H), (0, Dp - D)))
+    St = jnp.pad(S[:, :W].transpose(1, 0, 2), ((0, 0), (0, Hp - H), (0, 0)))
+    sweep_t = functools.partial(sgm_sweep, p1=cfg.p1, p2=cfg.p2, n_real=H,
+                                d_real=D, interpret=interpret)
+    St = sweep_t(Ct, St, (0,), False,
+                 p2_maps=_p2_stack(img, [(0, 1)], cfg, True, W, Hp))
+    p2b = _p2_stack(img, [(0, -1)], cfg, True, W, Hp)
+    disp, valid, d_r = sweep_bwd_wta(Ct, St, cfg, w_real=W, d_real=D,
+                                     p2_maps=p2b, interpret=interpret)
+    return (disp[:H, :W], valid[:H, :W].astype(bool), d_r[:H, :W])
 
 
 # ---------------------------------------------------------------------------

@@ -53,24 +53,30 @@ def _right_disparity(S: jnp.ndarray) -> jnp.ndarray:
     return packed_best & 255
 
 
-def lr_check(S: jnp.ndarray, disp: jnp.ndarray, cfg: Config) -> jnp.ndarray:
-    """Validity mask: |d_L(x) - d_R(x - round(d_L(x)))| <= disp12_max_diff.
+def dr_consistency(d_r: jnp.ndarray, disp: jnp.ndarray, num_disp: int,
+                   max_diff: int) -> jnp.ndarray:
+    """|d_L(x) - d_R(x - round(d_L(x)))| <= max_diff given a precomputed
+    right-disparity map. Gather-free: for each integer d, shift d_R right
+    by d (static) and select where round(d_L) == d; the 255 fill makes
+    out-of-image lookups (x < d_L) fail the check, which doubles as the
+    in-image condition."""
+    H, W = d_r.shape
+    dl = jnp.round(disp).astype(jnp.int32)
+    diff = jnp.full((H, W), jnp.int32(255))
+    for d in range(num_disp):
+        shifted = jnp.concatenate(
+            [jnp.full((H, d), jnp.int32(255)), d_r[:, : W - d]], axis=1)
+        diff = jnp.where(dl == d, jnp.abs(d - shifted), diff)
+    return diff <= max_diff
 
-    The per-pixel lookup d_R(x - d_L) is also gather-free: for each integer
-    d, shift d_R right by d (static) and select where round(d_L) == d.
-    """
+
+def lr_check(S: jnp.ndarray, disp: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """Validity mask: |d_L(x) - d_R(x - round(d_L(x)))| <= disp12_max_diff."""
     H, W, D = S.shape
     if cfg.disp12_max_diff < 0:
         return jnp.ones((H, W), bool)
     d_r = _right_disparity(S)
-
-    dl = jnp.round(disp).astype(jnp.int32)
-    diff = jnp.full((H, W), jnp.int32(255))
-    for d in range(D):
-        shifted = jnp.concatenate(
-            [jnp.full((H, d), jnp.int32(255)), d_r[:, : W - d]], axis=1)
-        diff = jnp.where(dl == d, jnp.abs(d - shifted), diff)
-    return diff <= cfg.disp12_max_diff
+    return dr_consistency(d_r, disp, D, cfg.disp12_max_diff)
 
 
 # ---------------------------------------------------------------------------
@@ -122,12 +128,17 @@ def connected_component_labels(conn_h: jnp.ndarray, conn_v: jnp.ndarray,
         lab, changed, i = state
         return changed & (i < max_iters)
 
+    conn_v_t = conn_v.T  # column scans run lane-major via transposes:
+    # an axis-0 associative_scan is ~7x slower than axis-1 on TPU (measured)
+
     def body(state):
         lab, _, i = state
         new = _segmented_min_scan(lab, conn_h, axis=1, reverse=False)
         new = _segmented_min_scan(new, conn_h, axis=1, reverse=True)
-        new = _segmented_min_scan(new, conn_v, axis=0, reverse=False)
-        new = _segmented_min_scan(new, conn_v, axis=0, reverse=True)
+        nt = new.T
+        nt = _segmented_min_scan(nt, conn_v_t, axis=1, reverse=False)
+        nt = _segmented_min_scan(nt, conn_v_t, axis=1, reverse=True)
+        new = nt.T
         return new, jnp.any(new != lab), i + 1
 
     lab, _, _ = jax.lax.while_loop(cond, body, (init, anchor == 0, anchor))

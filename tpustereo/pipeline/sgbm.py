@@ -64,13 +64,17 @@ def sgbm_volume(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
 
 def _select_and_refine(S: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     mode = _pallas_mode(cfg)
-    # SAD volumes can exceed int16 at large blocks; the kernel is int16-slab
+    # SAD volumes can exceed int16 at large blocks; the kernel packs *256
     if mode != "off" and (cfg.mode != "sad" or cfg.sad_block <= 11):
         from tpustereo.kernels import wta_lr_pallas
         disp, valid = wta_lr_pallas(S, cfg, interpret=(mode == "interpret"))
     else:
         disp, d_int, valid = wta(S, cfg)
         valid &= lr_check(S, disp, cfg)
+    return _postproc(disp, valid, cfg)
+
+
+def _postproc(disp, valid, cfg: Config):
     valid = speckle(disp, valid, cfg)
     disp = jnp.where(valid, disp, INVALID)
     if cfg.median_filter:
@@ -81,6 +85,24 @@ def _select_and_refine(S: jnp.ndarray, cfg: Config) -> jnp.ndarray:
 @partial(jax.jit, static_argnames="cfg")
 def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """Single-pair pipeline: (H, W) uint8 ×2 -> (H, W) float32 disparity."""
+    mode = _pallas_mode(cfg)
+    if cfg.mode == "sgm" and mode != "off" and cfg.census_bits <= 32:
+        # fully fused kernel path: cost -> sweeps -> WTA without the
+        # completed S volume ever round-tripping HBM
+        from tpustereo.kernels import census_cost_volume_pallas, sgm_select_pallas
+        from tpustereo.ops.postproc import dr_consistency
+        interp = mode == "interpret"
+        with jax.named_scope("cost_volume"):
+            C = census_cost_volume_pallas(
+                left, right, cfg.num_disparities, cfg.max_census_cost,
+                cfg.census_window, interpret=interp)
+        with jax.named_scope("sgm_select"):
+            disp, valid, d_r = sgm_select_pallas(C, cfg, left, interpret=interp)
+        with jax.named_scope("postproc"):
+            if cfg.disp12_max_diff >= 0:
+                valid &= dr_consistency(d_r, disp, cfg.num_disparities,
+                                        cfg.disp12_max_diff)
+            return _postproc(disp, valid, cfg)
     with jax.named_scope("sgbm_volume"):
         S = sgbm_volume(left, right, cfg)
     with jax.named_scope("select_refine"):
