@@ -132,7 +132,8 @@ def cmd_bench(args) -> int:
         else PRESETS["kitti_sgm8"]
     record = run_benchmark(cfg, shape=tuple(int(v) for v in args.shape.split("x")),
                            batch=args.batch, iters=args.iters,
-                           stages=args.stages, tiled=args.tiled)
+                           stages=args.stages, tiled=args.tiled,
+                           profile_dir=args.profile)
     print(json.dumps(record, indent=2))
     if args.record:
         with open(args.record, "a") as f:
@@ -219,6 +220,8 @@ def main(argv=None) -> int:
     b.add_argument("--tiled", action="store_true",
                    help="bench the strip-tiled multi-device pipeline")
     b.add_argument("--record", help="append the JSON record to this file")
+    b.add_argument("--profile", metavar="DIR",
+                   help="write a jax.profiler trace of the timed loop")
     b.set_defaults(fn=cmd_bench)
 
     e = sub.add_parser("eval", help="D1-all / bad-2.0 vs ground truth")

@@ -90,31 +90,49 @@ def stage_times(left, right, cfg: Config, iters: int = 5) -> Dict[str, float]:
     ms: Dict[str, float] = {}
     n = iters
 
-    ms["census"] = _timed_device_loop(
-        partial(census, window=cfg.census_window), l8, iters=n) * 1e3 * 2
-    cl, cr = census(l8, cfg.census_window), census(r8, cfg.census_window)
-
-    vol = partial(cost_volume, num_disp=cfg.num_disparities,
-                  max_cost=cfg.max_census_cost)
-    C = jax.jit(vol)(cl, cr)
-    ms["cost_volume"] = _timed_device_loop(vol, cl, cr, iters=n) * 1e3
-
     mode = _pallas_mode(cfg)
-    if mode != "off":
-        from tpustereo.kernels import aggregate_pallas
-        agg = partial(aggregate_pallas, cfg=cfg, img=l8,
-                      interpret=(mode == "interpret"))
+    if mode != "off" and cfg.census_bits <= 32:
+        from tpustereo.kernels import census_cost_volume_pallas
+        fused_cost = partial(census_cost_volume_pallas,
+                             num_disp=cfg.num_disparities,
+                             max_cost=cfg.max_census_cost,
+                             window=cfg.census_window,
+                             interpret=(mode == "interpret"))
+        C = jax.jit(fused_cost)(l8, r8)
+        ms["census+cost_volume(fused)"] = _timed_device_loop(
+            fused_cost, l8, r8, iters=n) * 1e3
+    else:
+        ms["census"] = _timed_device_loop(
+            partial(census, window=cfg.census_window), l8, iters=n) * 1e3 * 2
+        cl, cr = census(l8, cfg.census_window), census(r8, cfg.census_window)
+        vol = partial(cost_volume, num_disp=cfg.num_disparities,
+                      max_cost=cfg.max_census_cost)
+        C = jax.jit(vol)(cl, cr)
+        ms["cost_volume"] = _timed_device_loop(vol, cl, cr, iters=n) * 1e3
+    if mode != "off" and cfg.mode == "sgm":
+        # profile the stages the fused pipeline actually runs
+        from tpustereo.kernels import sgm_select_pallas
+        from tpustereo.ops.postproc import dr_consistency
+        interp = mode == "interpret"
+        sel = partial(sgm_select_pallas, cfg=cfg, img=l8, interpret=interp)
+        disp, valid, d_r = jax.jit(sel)(C)
+        ms["sgm_select(4 sweeps+wta fused)"] = _timed_device_loop(
+            sel, C, iters=n) * 1e3
+        if cfg.disp12_max_diff >= 0:
+            ms["dr_consistency"] = _timed_device_loop(
+                lambda dr: dr_consistency(dr, disp, cfg.num_disparities,
+                                          cfg.disp12_max_diff),
+                d_r, iters=n) * 1e3
     else:
         agg = partial(aggregate, cfg=cfg, img=l8)
-    S = jax.jit(agg)(C)
-    ms["aggregate"] = _timed_device_loop(agg, C, iters=n) * 1e3
+        S = jax.jit(agg)(C)
+        ms["aggregate"] = _timed_device_loop(agg, C, iters=n) * 1e3
+        disp, d_int, valid = jax.jit(partial(wta, cfg=cfg))(S)
+        ms["wta_subpixel"] = _timed_device_loop(
+            lambda s: wta(s, cfg)[0], S, iters=n) * 1e3
+        ms["lr_check"] = _timed_device_loop(
+            lambda s: lr_check(s, disp, cfg), S, iters=n) * 1e3
 
-    disp, d_int, valid = jax.jit(partial(wta, cfg=cfg))(S)
-    ms["wta_subpixel"] = _timed_device_loop(
-        lambda s: wta(s, cfg)[0], S, iters=n) * 1e3
-
-    ms["lr_check"] = _timed_device_loop(
-        lambda s: lr_check(s, disp, cfg), S, iters=n) * 1e3
     ms["speckle"] = _timed_device_loop(
         lambda d: speckle(d, valid, cfg), disp, iters=n) * 1e3
     ms["median3"] = _timed_device_loop(median3, disp, iters=n) * 1e3
@@ -123,9 +141,13 @@ def stage_times(left, right, cfg: Config, iters: int = 5) -> Dict[str, float]:
 
 def run_benchmark(cfg: Config, shape: Tuple[int, int] = (375, 1242),
                   batch: int = 2, iters: int = 10, stages: bool = False,
-                  tiled: bool = False,
-                  mesh: Optional[object] = None) -> dict:
-    """One benchmark run -> structured record (SURVEY.md §5.5)."""
+                  tiled: bool = False, mesh: Optional[object] = None,
+                  profile_dir: Optional[str] = None) -> dict:
+    """One benchmark run -> structured record (SURVEY.md §5.5).
+
+    profile_dir: write a jax.profiler trace (Perfetto/XPlane) of the timed
+    loop there (SURVEY.md §5.1)."""
+    import contextlib
     import jax
     import jax.numpy as jnp
     from tpustereo.data.synthetic import synthetic_pair
@@ -136,20 +158,25 @@ def run_benchmark(cfg: Config, shape: Tuple[int, int] = (375, 1242),
     lefts = jnp.asarray(np.stack([L] * batch))
     rights = jnp.asarray(np.stack([R] * batch))
 
+    trace = (jax.profiler.trace(profile_dir) if profile_dir
+             else contextlib.nullcontext())
     n_devices = len(jax.devices())
     if tiled:
         from tpustereo.dist import make_mesh, sgbm_tiled_batched
         mesh = mesh or make_mesh(data=1, strip=n_devices)
         strip = mesh.shape["strip"]
         cfg = cfg.replace(strips=strip, batch_size=batch)
-        sec = _timed_device_loop(
-            lambda l, r: sgbm_tiled_batched(l, r, cfg, mesh),
-            lefts, rights, iters=iters)
+        with trace:
+            sec = _timed_device_loop(
+                lambda l, r: sgbm_tiled_batched(l, r, cfg, mesh),
+                lefts, rights, iters=iters)
         chips = mesh.size
     else:
         cfg = cfg.replace(batch_size=batch)
-        sec = _timed_device_loop(
-            lambda l, r: sgbm_batched(l, r, cfg), lefts, rights, iters=iters)
+        with trace:
+            sec = _timed_device_loop(
+                lambda l, r: sgbm_batched(l, r, cfg), lefts, rights,
+                iters=iters)
         chips = 1
 
     fps = batch / sec
