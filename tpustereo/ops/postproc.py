@@ -145,18 +145,40 @@ def connected_component_labels(conn_h: jnp.ndarray, conn_v: jnp.ndarray,
     return lab
 
 
+def component_sizes(lab: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel size of the pixel's component, given any component-constant
+    labelling. Scatter/gather-free (TPU lowers both badly — the .at[].add
+    histogram + lookup measured 9.7 ms at KITTI size vs ~4 ms for this):
+    sort labels (carrying source indices), run lengths via cummax/cummin of
+    run boundary positions, then a second sort on the source indices carries
+    the counts back — a sort is the one fast "permutation" op on TPU."""
+    H, W = lab.shape
+    n = H * W
+    flat = lab.reshape(-1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sl, si = jax.lax.sort((flat, idx), num_keys=1)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), sl[1:] != sl[:-1]])
+    is_end = jnp.concatenate([sl[1:] != sl[:-1], jnp.ones((1,), bool)])
+    spos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos, -1))
+    epos = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(is_end, pos, n), reverse=True)
+    count = epos - spos + 1
+    _, out = jax.lax.sort((si, count), num_keys=1)
+    return out.reshape(H, W)
+
+
 def speckle(disp: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """Invalidate components smaller than speckle_window_size (mirrors
     golden.speckle_numpy: 4-connectivity, |Δd| <= speckle_range)."""
     if cfg.speckle_window_size <= 0:
         return valid
-    H, W = disp.shape
     rng = jnp.float32(cfg.speckle_range)
     conn_h = valid[:, :-1] & valid[:, 1:] & (jnp.abs(disp[:, :-1] - disp[:, 1:]) <= rng)
     conn_v = valid[:-1, :] & valid[1:, :] & (jnp.abs(disp[:-1, :] - disp[1:, :]) <= rng)
     lab = connected_component_labels(conn_h, conn_v)
-    sizes = jnp.zeros((H * W,), jnp.int32).at[lab.reshape(-1)].add(1)
-    big = sizes[lab.reshape(-1)].reshape(H, W) >= cfg.speckle_window_size
+    big = component_sizes(lab) >= cfg.speckle_window_size
     return valid & big
 
 
