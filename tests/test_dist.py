@@ -115,3 +115,21 @@ def test_tiled_batched(pair):
     sel = ref0 >= 0
     assert ((ref0 >= 0) == (out[0] >= 0)).all()
     assert np.abs(ref0 - out[0])[sel].max() < 1e-5
+
+
+def test_disp_axis_sharding_matches_single(pair):
+    """SURVEY.md #17: D axis sharded over chips, pmin-resolved WTA equals
+    the single-device integer WTA (census_wta mode)."""
+    from tpustereo.dist import make_mesh, wta_disparity_sharded
+    from tpustereo.ops import census, cost_volume, wta
+
+    L, R, _, _ = pair
+    l8, r8 = jnp.asarray(L), jnp.asarray(R)
+    cfg = Config(mode="census_wta", num_disparities=32, uniqueness_ratio=0,
+                 subpixel=False, disp12_max_diff=-1, speckle_window_size=0,
+                 median_filter=False)
+    mesh = make_mesh(data=1, strip=4)
+    out = np.asarray(wta_disparity_sharded(l8, r8, cfg, mesh))
+    C = cost_volume(census(l8), census(r8), 32, cfg.max_census_cost)
+    _, d_int, _ = wta(C.astype(jnp.int16), cfg)
+    np.testing.assert_array_equal(out, np.asarray(d_int).astype(np.float32))

@@ -90,3 +90,15 @@ def test_wta_lr_pallas_unaligned(rng):
     d_p, v_p = wta_lr_pallas(S, cfg, interpret=True)
     np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(d_p))
     np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_p))
+
+
+@pytest.mark.parametrize("shape", [(48, 64), (37, 101)])
+def test_cc_pallas_bit_exact(rng, shape):
+    from tpustereo.ops.postproc import connected_component_labels
+    from tpustereo.kernels import connected_component_labels_pallas
+    H, W = shape
+    ch = jnp.asarray(rng.random((H, W - 1)) > 0.45)
+    cv = jnp.asarray(rng.random((H - 1, W)) > 0.45)
+    ref = np.asarray(connected_component_labels(ch, cv))
+    pal = np.asarray(connected_component_labels_pallas(ch, cv, interpret=True))
+    np.testing.assert_array_equal(ref, pal)

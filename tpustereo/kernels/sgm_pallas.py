@@ -78,10 +78,12 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real,
         prev = carry_ref[k]
         if dx != 0:
             prev = _roll(prev, dx, axis=0)
-        # rows whose predecessor (n - dx) falls outside [0, n_real) start a
-        # fresh path: uniform BIG carry renormalises to L = C below.
-        invalid = (row_idx < dx) | (row_idx >= n_real + dx)
-        prev = jnp.where(invalid, _BIG, prev)
+            # rows whose predecessor (n - dx) falls outside [0, n_real)
+            # start a fresh path: uniform BIG carry renormalises to L = C
+            # below. For dx == 0 padded rows never interact with real rows,
+            # so the mask (a full-slab select) is skipped.
+            invalid = (row_idx < dx) | (row_idx >= n_real + dx)
+            prev = jnp.where(invalid, _BIG, prev)
 
         minprev = jnp.min(prev, axis=1, keepdims=True)
         up = _roll(prev, -1, axis=1)

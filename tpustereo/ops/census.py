@@ -45,15 +45,18 @@ def census(img: jnp.ndarray, window=(5, 5)) -> jnp.ndarray:
 
 
 def cost_volume(cen_l: jnp.ndarray, cen_r: jnp.ndarray, num_disp: int,
-                max_cost: int) -> jnp.ndarray:
-    """C[y,x,d] = popcount(cenL[y,x] ^ cenR[y,x-d]); x-d<0 -> max_cost.
+                max_cost: int, d_start=0) -> jnp.ndarray:
+    """C[y,x,d] = popcount(cenL[y,x] ^ cenR[y,x-(d_start+d)]); out-of-image
+    -> max_cost.
 
     (H, W, P) uint32 planes -> (H, W, D) uint8. One gather along x builds
     all D shifted right-census views; XLA fuses xor+popcount+sum into it.
+    d_start (static or traced) supports disparity-axis sharding
+    (dist.disp_shard): each chip builds only its D-slice.
     """
     H, W, P = cen_l.shape
     xs = jnp.arange(W)[:, None]
-    ds = jnp.arange(num_disp)[None, :]
+    ds = d_start + jnp.arange(num_disp)[None, :]
     idx = xs - ds                       # (W, D)
     valid = idx >= 0
     idx_c = jnp.clip(idx, 0, W - 1)

@@ -177,7 +177,14 @@ def speckle(disp: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     rng = jnp.float32(cfg.speckle_range)
     conn_h = valid[:, :-1] & valid[:, 1:] & (jnp.abs(disp[:, :-1] - disp[:, 1:]) <= rng)
     conn_v = valid[:-1, :] & valid[1:, :] & (jnp.abs(disp[:-1, :] - disp[1:, :]) <= rng)
-    lab = connected_component_labels(conn_h, conn_v)
+    from tpustereo.utils.backend import pallas_mode
+    mode = pallas_mode(cfg)
+    if mode != "off":
+        from tpustereo.kernels import connected_component_labels_pallas
+        lab = connected_component_labels_pallas(
+            conn_h, conn_v, interpret=(mode == "interpret"))
+    else:
+        lab = connected_component_labels(conn_h, conn_v)
     big = component_sizes(lab) >= cfg.speckle_window_size
     return valid & big
 

@@ -21,22 +21,7 @@ from tpustereo.ops import (aggregate, census, cost_volume, lr_check, median3,
 INVALID = jnp.float32(-1.0)
 
 
-def _pallas_mode(cfg: Config) -> str:
-    """'compiled' | 'interpret' | 'off' — backend dispatch (SURVEY.md §3).
-
-    'auto' uses the Mosaic-compiled Pallas kernels on TPU and pure jnp
-    elsewhere; 'pallas' forces the kernels (interpret mode off-TPU, for
-    tests); 'jnp' forces the fallback.
-    """
-    if cfg.backend == "jnp":
-        return "off"
-    try:
-        on_tpu = "TPU" in jax.devices()[0].device_kind
-    except RuntimeError:  # pragma: no cover
-        on_tpu = False
-    if cfg.backend == "pallas":
-        return "compiled" if on_tpu else "interpret"
-    return "compiled" if on_tpu else "off"
+from tpustereo.utils.backend import pallas_mode as _pallas_mode  # noqa: E402
 
 
 def sgbm_volume(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
