@@ -24,7 +24,10 @@ def main():
     from tpustereo.config import PRESETS
     from tpustereo.eval.bench import run_benchmark
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    # B=1 is the fastest per-frame operating point on one chip (vmapped
+    # postproc while_loops pay a small batching tax); batch scaling lives on
+    # the mesh 'data' axis, not in-chip (SURVEY.md §4.2).
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     cfg = PRESETS["kitti_sgm8"]
     record = run_benchmark(cfg, shape=(375, 1242), batch=batch, iters=iters)

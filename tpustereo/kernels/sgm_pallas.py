@@ -170,8 +170,8 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, n_real, d_real,
     idx = 0
     p2_ref = rest[idx] if has_p2m else None
     idx += 1 if has_p2m else 0
-    disp_ref, valid_ref, dr_ref = rest[idx:idx + 3]
-    carry_ref, amin_ref = rest[idx + 3:idx + 5]
+    disp_ref, vd_ref = rest[idx:idx + 2]
+    carry_ref, amin_ref = rest[idx + 2:idx + 4]
 
     t = pl.program_id(0)
     T = pl.num_programs(0)
@@ -200,7 +200,8 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, n_real, d_real,
     cand = jnp.minimum(prev, jnp.minimum(up, dn) + p1)
     cand = jnp.minimum(cand, minprev + p2)
     L = c + cand - minprev
-    carry_ref[...] = L
+
+    real = x < w_real  # scan axis may carry transpose-tile padding up front
 
     S = s_ref[0].astype(jnp.int32) + L                  # final S column (N, D)
     if d_real < D:
@@ -241,20 +242,23 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, n_real, d_real,
     A = jnp.minimum(amin_ref[...], packed)
     d_r = A[:, 0:1] & 255
     A = _roll(A, -1, axis=1)
-    amin_ref[...] = jnp.where(lane == D - 1, _BIGPACK * 256, A)
+
+    @pl.when(real)  # padded leading scan steps must not touch any state
+    def _():
+        carry_ref[...] = L
+        amin_ref[...] = jnp.where(lane == D - 1, _BIGPACK * 256, A)
 
     # Mosaic cannot prove dynamic single-lane stores aligned; write via a
     # lane-masked read-modify-write of the (N, 128) block instead (the block
     # is revisited for 128 consecutive steps, so this stays in VMEM).
+    # valid and d_R share one packed int32 output (valid*256 + d_R).
     xm = x % 128
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)
     hit = lane128 == xm
+    vd = valid.astype(jnp.int32) * 256 + d_r
     disp_ref[...] = jnp.where(hit, jnp.broadcast_to(disp, (N, 128)),
                               disp_ref[...])
-    valid_ref[...] = jnp.where(hit,
-                               jnp.broadcast_to(valid.astype(jnp.int32),
-                                                (N, 128)), valid_ref[...])
-    dr_ref[...] = jnp.where(hit, jnp.broadcast_to(d_r, (N, 128)), dr_ref[...])
+    vd_ref[...] = jnp.where(hit, jnp.broadcast_to(vd, (N, 128)), vd_ref[...])
 
 
 def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
@@ -288,21 +292,19 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
         _bwd_wta_kernel, cfg=cfg, p1=cfg.p1, p2_const=cfg.p2, n_real=N,
         d_real=d_real, w_real=w_real, has_p2m=p2_maps is not None)
 
-    disp, valid, d_r = pl.pallas_call(
+    disp, vd = pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=in_specs,
         out_specs=(pl.BlockSpec((N, 128), omap, memory_space=pltpu.VMEM),
-                   pl.BlockSpec((N, 128), omap, memory_space=pltpu.VMEM),
                    pl.BlockSpec((N, 128), omap, memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((N, Wx), jnp.float32),
-                   jax.ShapeDtypeStruct((N, Wx), jnp.int32),
                    jax.ShapeDtypeStruct((N, Wx), jnp.int32)),
         scratch_shapes=[pltpu.VMEM((N, D), jnp.int32),
                         pltpu.VMEM((N, D), jnp.int32)],
         interpret=interpret,
     )(*operands)
-    return disp, valid, d_r
+    return disp, vd >= 256, vd & 255
 
 
 def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
@@ -332,13 +334,18 @@ def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     S = sweep(Cv, S, dxs_v, True,
               p2_maps=_p2_stack(img, up, cfg, False, H, Wp))
 
-    Ct = jnp.pad(C.transpose(1, 0, 2), ((0, 0), (0, Hp - H), (0, Dp - D)))
-    St = jnp.pad(S[:, :W].transpose(1, 0, 2), ((0, 0), (0, Hp - H), (0, 0)))
+    # tile-transpose kernels; the padded scan columns (T in [W, Wp)) are
+    # inert: the fwd sweep reaches them last, the bwd+WTA kernel skips its
+    # state updates for them (`real` guard)
+    from tpustereo.kernels.transpose_pallas import transpose_hw_pallas
+    Ct = transpose_hw_pallas(Cv, interpret=interpret, trim=False)  # (Wp, H8, Dp)
+    St = transpose_hw_pallas(S, interpret=interpret, trim=False)
+    Tt, H8 = Ct.shape[0], Ct.shape[1]
     sweep_t = functools.partial(sgm_sweep, p1=cfg.p1, p2=cfg.p2, n_real=H,
                                 d_real=D, interpret=interpret)
     St = sweep_t(Ct, St, (0,), False,
-                 p2_maps=_p2_stack(img, [(0, 1)], cfg, True, W, Hp))
-    p2b = _p2_stack(img, [(0, -1)], cfg, True, W, Hp)
+                 p2_maps=_p2_stack(img, [(0, 1)], cfg, True, Tt, H8))
+    p2b = _p2_stack(img, [(0, -1)], cfg, True, Tt, H8)
     disp, valid, d_r = sweep_bwd_wta(Ct, St, cfg, w_real=W, d_real=D,
                                      p2_maps=p2b, interpret=interpret)
     return (disp[:H, :W], valid[:H, :W].astype(bool), d_r[:H, :W])
@@ -390,13 +397,18 @@ def aggregate_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     S = sweep(Cv, S, dxs_v, True,
               p2_maps=_p2_stack(img, up, cfg, False, H, Wp))
 
-    # horizontal sweeps in transposed layout (W, H, D)
-    Ct = jnp.pad(C.transpose(1, 0, 2), ((0, 0), (0, Hp - H), (0, Dp - D)))
-    St = jnp.pad(S[:, :W].transpose(1, 0, 2), ((0, 0), (0, Hp - H), (0, 0)))
+    # horizontal sweeps in transposed layout (W, H, D). The padded scan
+    # columns (T in [W, Wp)) are uniform zero, so the backward sweep's
+    # carry renormalises to a fresh path start on entering the real region
+    # — exact without masking.
+    from tpustereo.kernels.transpose_pallas import transpose_hw_pallas
+    Ct = transpose_hw_pallas(Cv, interpret=interpret, trim=False)
+    St = transpose_hw_pallas(S, interpret=interpret, trim=False)
+    Tt, H8 = Ct.shape[0], Ct.shape[1]
     sweep_t = functools.partial(sgm_sweep, p1=p1, p2=p2, n_real=H, d_real=D,
                                 interpret=interpret)
     St = sweep_t(Ct, St, (0,), False,
-                 p2_maps=_p2_stack(img, [(0, 1)], cfg, True, W, Hp))
+                 p2_maps=_p2_stack(img, [(0, 1)], cfg, True, Tt, H8))
     St = sweep_t(Ct, St, (0,), True,
-                 p2_maps=_p2_stack(img, [(0, -1)], cfg, True, W, Hp))
-    return St[:W, :H, :D].transpose(1, 0, 2)
+                 p2_maps=_p2_stack(img, [(0, -1)], cfg, True, Tt, H8))
+    return transpose_hw_pallas(St, interpret=interpret)[:H, :W, :D]

@@ -1,0 +1,47 @@
+"""(H, W, D) -> (W, H, D) volume transpose as a Pallas tile kernel.
+
+XLA's transpose of the cost/sum volumes between the vertical and horizontal
+sweep layouts runs at ~50 GB/s on the dev chip (2.5 + 3.2 ms per frame);
+this kernel moves (8, 128, D) tiles through VMEM with the minor (D) dim
+untouched — the swap of the two leading dims is a cheap sublane shuffle —
+and sustains full HBM bandwidth.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TH = 8     # rows per tile
+_TW = 128   # cols per tile
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(in_ref, out_ref):
+    out_ref[...] = jnp.swapaxes(in_ref[...], 0, 1)
+
+
+def transpose_hw_pallas(x: jnp.ndarray, interpret: bool = False,
+                        trim: bool = True) -> jnp.ndarray:
+    """x: (H, W, D) -> (W, H, D); D a multiple of 128. Pads internally for
+    arbitrary H, W; trim=False keeps the zero padding (Wp, Hp, D) — the
+    sweep kernels want padded operands anyway."""
+    H, W, D = x.shape
+    Hp, Wp = _round_up(H, _TH), _round_up(W, _TW)
+    xp = jnp.pad(x, ((0, Hp - H), (0, Wp - W), (0, 0)))
+    out = pl.pallas_call(
+        _kernel,
+        grid=(Hp // _TH, Wp // _TW),
+        in_specs=[pl.BlockSpec((_TH, _TW, D), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_TW, _TH, D), lambda i, j: (j, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Wp, Hp, D), x.dtype),
+        interpret=interpret,
+    )(xp)
+    return out[:W, :H] if trim else out
