@@ -190,10 +190,8 @@ def _sgbm_strip(left_loc, right_loc, cfg: Config):
 
     full_disp = lax.all_gather(disp, AXIS, tiled=True)
     full_valid = lax.all_gather(valid, AXIS, tiled=True)
-    full_valid = speckle(full_disp, full_valid, cfg)
-    out = jnp.where(full_valid, full_disp, INVALID)
-    if cfg.median_filter:
-        out = median3(out)
+    from tpustereo.pipeline.sgbm import _postproc
+    out = _postproc(full_disp, full_valid, cfg)
     i = lax.axis_index(AXIS)
     Hs = disp.shape[0]
     return lax.dynamic_slice_in_dim(out, i * Hs, Hs, axis=0)

@@ -15,3 +15,5 @@ from tpustereo.kernels.sgm_pallas import (  # noqa: F401
 from tpustereo.kernels.wta_pallas import wta_lr_pallas  # noqa: F401
 from tpustereo.kernels.cost_pallas import census_cost_volume_pallas  # noqa: F401
 from tpustereo.kernels.cc_pallas import connected_component_labels_pallas  # noqa: F401
+from tpustereo.kernels.median_pallas import median3_pallas  # noqa: F401
+from tpustereo.kernels.transpose_pallas import transpose_hw_pallas  # noqa: F401

@@ -63,7 +63,12 @@ def _postproc(disp, valid, cfg: Config):
     valid = speckle(disp, valid, cfg)
     disp = jnp.where(valid, disp, INVALID)
     if cfg.median_filter:
-        disp = median3(disp)
+        mode = _pallas_mode(cfg)
+        if mode != "off":
+            from tpustereo.kernels import median3_pallas
+            disp = median3_pallas(disp, interpret=(mode == "interpret"))
+        else:
+            disp = median3(disp)
     return disp
 
 
