@@ -30,7 +30,7 @@ def sgbm_volume(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
         return sad_volume(left, right, cfg.num_disparities, cfg.sad_block)
     mode = _pallas_mode(cfg)
     interp = mode == "interpret"
-    if mode != "off" and cfg.census_bits <= 32:
+    if mode != "off" and cfg.census_bits <= 32 and cfg.num_disparities <= 128:
         from tpustereo.kernels import census_cost_volume_pallas
         C = census_cost_volume_pallas(left, right, cfg.num_disparities,
                                       cfg.max_census_cost, cfg.census_window,
@@ -50,7 +50,9 @@ def sgbm_volume(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
 def _select_and_refine(S: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     mode = _pallas_mode(cfg)
     # SAD volumes can exceed int16 at large blocks; the kernel packs *256
-    if mode != "off" and (cfg.mode != "sad" or cfg.sad_block <= 11):
+    # and its shear assumes D <= 128
+    if (mode != "off" and cfg.num_disparities <= 128
+            and (cfg.mode != "sad" or cfg.sad_block <= 11)):
         from tpustereo.kernels import wta_lr_pallas
         disp, valid = wta_lr_pallas(S, cfg, interpret=(mode == "interpret"))
     else:
@@ -76,7 +78,10 @@ def _postproc(disp, valid, cfg: Config):
 def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """Single-pair pipeline: (H, W) uint8 ×2 -> (H, W) float32 disparity."""
     mode = _pallas_mode(cfg)
-    if cfg.mode == "sgm" and mode != "off" and cfg.census_bits <= 32:
+    # kernel preconditions: census fits one uint32 plane; the packed-argmin
+    # and log-shear tricks assume D <= 128 lanes
+    if (cfg.mode == "sgm" and mode != "off" and cfg.census_bits <= 32
+            and cfg.num_disparities <= 128):
         # fully fused kernel path: cost -> sweeps -> WTA without the
         # completed S volume ever round-tripping HBM
         from tpustereo.kernels import census_cost_volume_pallas, sgm_select_pallas
@@ -103,6 +108,14 @@ def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
 def sgbm_batched(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """Batched pipeline: (B, H, W) uint8 ×2 -> (B, H, W) float32.
 
-    vmapped over the batch; under pjit the batch axis shards over the mesh
-    'data' axis (SURVEY.md §4.2)."""
-    return jax.vmap(lambda l, r: sgbm.__wrapped__(l, r, cfg))(left, right)
+    `lax.scan` over the batch, NOT vmap: one chip runs pairs sequentially
+    at full single-pair speed (vmapping the Pallas pipeline measured a
+    ~25% per-frame tax even at B=1), and cross-chip batch parallelism
+    happens by sharding the batch axis over the mesh 'data' axis before
+    this function runs per-shard (SURVEY.md §4.2)."""
+    def one(carry, lr):
+        l, r = lr
+        return carry, sgbm.__wrapped__(l, r, cfg)
+
+    _, out = jax.lax.scan(one, jnp.int32(0), (left, right))
+    return out
