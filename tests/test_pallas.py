@@ -102,3 +102,27 @@ def test_cc_pallas_bit_exact(rng, shape):
     ref = np.asarray(connected_component_labels(ch, cv))
     pal = np.asarray(connected_component_labels_pallas(ch, cv, interpret=True))
     np.testing.assert_array_equal(ref, pal)
+
+
+def test_fuzz_random_configs_pallas_vs_jnp(rng):
+    """Random config fuzz: the dispatcher must produce identical pipelines
+    for every knob combination (interpret mode on CPU)."""
+    from tpustereo.data.synthetic import synthetic_pair
+    L, R, _, _ = synthetic_pair((40, 56), disparity=5.0, slope=0.04, seed=9)
+    l8, r8 = jnp.asarray(L), jnp.asarray(R)
+    for trial in range(5):
+        cfg = Config(
+            num_disparities=int(rng.choice([16, 32])),
+            paths=int(rng.choice([4, 8])),
+            p1=int(rng.integers(1, 20)),
+            p2=int(rng.integers(40, 200)),
+            adaptive_p2=bool(rng.integers(0, 2)),
+            uniqueness_ratio=int(rng.choice([0, 5, 15])),
+            subpixel=bool(rng.integers(0, 2)),
+            disp12_max_diff=int(rng.choice([-1, 0, 2])),
+            speckle_window_size=int(rng.choice([0, 30])),
+            median_filter=bool(rng.integers(0, 2)),
+        )
+        a = np.asarray(sgbm(l8, r8, cfg.replace(backend="jnp")))
+        b = np.asarray(sgbm(l8, r8, cfg.replace(backend="pallas")))
+        np.testing.assert_array_equal(a, b, err_msg=f"cfg={cfg}")

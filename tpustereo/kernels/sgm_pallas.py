@@ -62,9 +62,12 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real,
     t = pl.program_id(0)
     N, D = carry_ref.shape[1], carry_ref.shape[2]
 
+    # carries hold the renormalised q = L - min_d L (the bracket of the
+    # recurrence becomes min(q, q±1+P1, P2), so the P2 clip is a scalar and
+    # a fresh path start is a uniform-ZERO carry -> L = C)
     @pl.when(t == 0)
     def _():
-        carry_ref[...] = jnp.full(carry_ref.shape, _BIG, jnp.int32)
+        carry_ref[...] = jnp.zeros(carry_ref.shape, jnp.int32)
 
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 0)
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
@@ -75,29 +78,26 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real,
 
     total = None
     for k, dx in enumerate(dxs):
-        prev = carry_ref[k]
+        q = carry_ref[k]
         if dx != 0:
-            prev = _roll(prev, dx, axis=0)
+            q = _roll(q, dx, axis=0)
             # rows whose predecessor (n - dx) falls outside [0, n_real)
-            # start a fresh path: uniform BIG carry renormalises to L = C
-            # below. For dx == 0 padded rows never interact with real rows,
-            # so the mask (a full-slab select) is skipped.
+            # start a fresh path: uniform-zero q gives L = C below. For
+            # dx == 0 padded rows never interact with real rows.
             invalid = (row_idx < dx) | (row_idx >= n_real + dx)
-            prev = jnp.where(invalid, _BIG, prev)
+            q = jnp.where(invalid, 0, q)
 
-        minprev = jnp.min(prev, axis=1, keepdims=True)
-        up = _roll(prev, -1, axis=1)
+        up = _roll(q, -1, axis=1)
         up = jnp.where(lane_idx == D - 1, _BIG, up)
-        dn = _roll(prev, 1, axis=1)
+        dn = _roll(q, 1, axis=1)
         dn = jnp.where(lane_idx == 0, _BIG, dn)
         if p2_ref is not None:
             p2 = p2_ref[0, :, k:k + 1]
         else:
             p2 = p2_const
-        cand = jnp.minimum(prev, jnp.minimum(up, dn) + p1)
-        cand = jnp.minimum(cand, minprev + p2)
-        L = c + cand - minprev
-        carry_ref[k] = L
+        cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn) + p1), p2)
+        L = c + cand
+        carry_ref[k] = L - jnp.min(L, axis=1, keepdims=True)
         total = L if total is None else total + L
 
     out = total.astype(jnp.int16)
@@ -182,24 +182,22 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, n_real, d_real,
 
     @pl.when(t == 0)
     def _():
-        carry_ref[...] = jnp.full((N, D), _BIG, jnp.int32)
+        carry_ref[...] = jnp.zeros((N, D), jnp.int32)   # q-form, see sweep
         amin_ref[...] = jnp.full((N, D), _BIGPACK * 256, jnp.int32)
 
     c = c_ref[0].astype(jnp.int32)
     if d_real < D:
         c = jnp.where(lane >= d_real, _BIG, c)
 
-    # SGM backward-horizontal step (dx = 0)
-    prev = carry_ref[...]
-    minprev = jnp.min(prev, axis=1, keepdims=True)
-    up = _roll(prev, -1, axis=1)
+    # SGM backward-horizontal step (dx = 0), renormalised q carry
+    q = carry_ref[...]
+    up = _roll(q, -1, axis=1)
     up = jnp.where(lane == D - 1, _BIG, up)
-    dn = _roll(prev, 1, axis=1)
+    dn = _roll(q, 1, axis=1)
     dn = jnp.where(lane == 0, _BIG, dn)
     p2 = p2_ref[0, :, 0:1] if p2_ref is not None else p2_const
-    cand = jnp.minimum(prev, jnp.minimum(up, dn) + p1)
-    cand = jnp.minimum(cand, minprev + p2)
-    L = c + cand - minprev
+    cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn) + p1), p2)
+    L = c + cand
 
     real = x < w_real  # scan axis may carry transpose-tile padding up front
 
@@ -245,7 +243,7 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, n_real, d_real,
 
     @pl.when(real)  # padded leading scan steps must not touch any state
     def _():
-        carry_ref[...] = L
+        carry_ref[...] = L - jnp.min(L, axis=1, keepdims=True)
         amin_ref[...] = jnp.where(lane == D - 1, _BIGPACK * 256, A)
 
     # Mosaic cannot prove dynamic single-lane stores aligned; write via a
