@@ -1,0 +1,116 @@
+"""Unit tests for the odometry submodules (SURVEY.md §3 #19): SE(3) maps,
+Gauss-Newton PnP on synthetic geometry, feature detect/match, pose-graph
+optimisation with a loop closure."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpustereo.odometry.se3 import exp_se3, inv_se3, log_se3
+from tpustereo.odometry.pnp import gauss_newton_pose, project
+from tpustereo.odometry.features import detect_corners, describe, match_descriptors
+from tpustereo.odometry.pose_graph import PoseGraph
+
+
+def _rand_twist(rng, rot=0.2, trans=0.5):
+    w = rng.normal(0, rot, 3)
+    v = rng.normal(0, trans, 3)
+    return np.concatenate([v, w]).astype(np.float32)
+
+
+def test_se3_exp_log_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        xi = _rand_twist(rng)
+        T = np.asarray(exp_se3(jnp.asarray(xi)))
+        # valid rigid transform
+        np.testing.assert_allclose(T[:3, :3] @ T[:3, :3].T, np.eye(3), atol=1e-5)
+        np.testing.assert_allclose(np.linalg.det(T[:3, :3]), 1.0, atol=1e-5)
+        xi2 = np.asarray(log_se3(jnp.asarray(T)))
+        np.testing.assert_allclose(xi2, xi, atol=1e-4)
+        Tinv = np.asarray(inv_se3(jnp.asarray(T)))
+        np.testing.assert_allclose(Tinv @ T, np.eye(4), atol=1e-5)
+
+
+def test_gauss_newton_recovers_pose():
+    rng = np.random.default_rng(1)
+    fx = fy = 400.0
+    cx, cy = 64.0, 48.0
+    X = rng.uniform([-2, -1.5, 4], [2, 1.5, 12], (120, 3)).astype(np.float32)
+    T_true = np.asarray(exp_se3(jnp.asarray(_rand_twist(rng, 0.05, 0.2))))
+    P = X @ T_true[:3, :3].T + T_true[:3, 3]
+    u = np.array(project(jnp.asarray(P), fx, fy, cx, cy))
+    w = np.ones(120, np.float32)
+    w[:10] = 0.0  # invalid matches must not perturb the solution
+    u[:10] += 500.0
+    T, res = gauss_newton_pose(jnp.asarray(X), jnp.asarray(u), jnp.asarray(w),
+                               jnp.asarray([fx, fy, cx, cy], jnp.float32))
+    np.testing.assert_allclose(np.asarray(T), T_true, atol=1e-3)
+    assert float(res) < 1e-2
+
+
+def test_gauss_newton_huber_rejects_outliers():
+    rng = np.random.default_rng(2)
+    fx = fy = 400.0
+    cx, cy = 64.0, 48.0
+    X = rng.uniform([-2, -1.5, 4], [2, 1.5, 12], (150, 3)).astype(np.float32)
+    T_true = np.asarray(exp_se3(jnp.asarray(_rand_twist(rng, 0.04, 0.15))))
+    P = X @ T_true[:3, :3].T + T_true[:3, 3]
+    u = np.array(project(jnp.asarray(P), fx, fy, cx, cy))
+    u[:20] += rng.normal(0, 40.0, (20, 2))  # gross outliers, weight 1
+    T, _ = gauss_newton_pose(jnp.asarray(X), jnp.asarray(u),
+                             jnp.ones(150, jnp.float32),
+                             jnp.asarray([fx, fy, cx, cy], jnp.float32),
+                             iters=15)
+    np.testing.assert_allclose(np.asarray(T), T_true, atol=0.05)
+
+
+def test_corner_detect_and_match_identity():
+    rng = np.random.default_rng(3)
+    img = (rng.uniform(0, 255, (96, 128))).astype(np.uint8)
+    pts, valid = detect_corners(jnp.asarray(img), max_corners=64)
+    pts, valid = np.asarray(pts), np.asarray(valid)
+    assert valid.sum() >= 32
+    H, W = img.shape
+    assert (pts[valid][:, 0] >= 0).all() and (pts[valid][:, 0] < H).all()
+    desc = describe(jnp.asarray(img), jnp.asarray(pts))
+    # matching an image against itself must be the identity on valid corners
+    idx, good = match_descriptors(desc, desc, jnp.asarray(valid),
+                                  jnp.asarray(valid), min_similarity=0.9)
+    idx, good = np.asarray(idx), np.asarray(good)
+    sel = good & valid
+    assert sel.sum() >= 32
+    np.testing.assert_array_equal(idx[sel], np.arange(len(idx))[sel])
+
+
+def test_pose_graph_loop_closure_reduces_drift():
+    rng = np.random.default_rng(4)
+    # ground truth: N keyframes along a line; odometry edges with noise,
+    # plus an exact loop-closure edge 0 -> N-1
+    N = 8
+    true_step = np.asarray(exp_se3(jnp.asarray(
+        np.array([0.5, 0, 0, 0, 0, 0], np.float32))))
+    truth = [np.eye(4, dtype=np.float32)]
+    for _ in range(N - 1):
+        truth.append((truth[-1] @ true_step).astype(np.float32))
+
+    g = PoseGraph()
+    noisy = np.eye(4, dtype=np.float32)
+    g.add_keyframe(noisy)
+    for i in range(1, N):
+        noise = exp_se3(jnp.asarray(
+            np.concatenate([rng.normal(0, 0.03, 3),
+                            rng.normal(0, 0.01, 3)]).astype(np.float32)))
+        step = (true_step @ np.asarray(noise)).astype(np.float32)
+        noisy = (noisy @ step).astype(np.float32)
+        g.add_keyframe(noisy)
+        g.add_edge(i - 1, i, step)
+    # exact loop closure with high weight
+    T0N = np.linalg.inv(truth[0]) @ truth[N - 1]
+    g.add_edge(0, N - 1, T0N.astype(np.float32), weight=10.0)
+
+    before = np.linalg.norm(np.stack(g.poses)[:, :3, 3] -
+                            np.stack(truth)[:, :3, 3], axis=-1).max()
+    g.optimize(iters=15)
+    after = np.linalg.norm(np.stack(g.poses)[:, :3, 3] -
+                           np.stack(truth)[:, :3, 3], axis=-1).max()
+    assert after < before * 0.7, (before, after)

@@ -170,7 +170,7 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, n_real, d_real,
     idx = 0
     p2_ref = rest[idx] if has_p2m else None
     idx += 1 if has_p2m else 0
-    disp_ref, vd_ref = rest[idx:idx + 2]
+    o1_ref, o2_ref = rest[idx:idx + 2]
     carry_ref, amin_ref = rest[idx + 2:idx + 4]
 
     t = pl.program_id(0)
@@ -219,21 +219,19 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, n_real, d_real,
         second = jnp.min(masked, axis=1, keepdims=True)
         valid &= ~(second * 100 < best * (100 + cfg.uniqueness_ratio))
 
-    disp = d_int.astype(jnp.float32)
     if cfg.subpixel:
+        # only the parabola deltas leave the kernel; the float math runs
+        # once over the (H, W) maps outside (the ~10 float ops per step on
+        # lane-padded (N, 1) columns cost a full slab op each in Mosaic)
         dm = jnp.maximum(d_int - 1, 0)
         dp = jnp.minimum(d_int + 1, d_real - 1)
         sm = jnp.min(jnp.where(lane == dm, S, _BIGPACK * 256), axis=1,
-                     keepdims=True).astype(jnp.float32)
+                     keepdims=True)
         sp = jnp.min(jnp.where(lane == dp, S, _BIGPACK * 256), axis=1,
-                     keepdims=True).astype(jnp.float32)
-        s0 = best.astype(jnp.float32)
-        denom = sm - 2.0 * s0 + sp
-        offs = jnp.where(denom > 0,
-                         (sm - sp) / jnp.maximum(2.0 * denom, 1e-9), 0.0)
-        offs = jnp.clip(offs, -0.5, 0.5)
-        interior = (d_int > 0) & (d_int < d_real - 1)
-        disp = disp + jnp.where(interior, offs, 0.0)
+                     keepdims=True)
+        deltas = (sm - best) * 4096 + (sp - best)
+    else:
+        deltas = jnp.zeros((N, 1), jnp.int32)
 
     # incremental right-view WTA: lane j of amin accumulates column x-j's
     # diagonal; lane 0 is complete at this step
@@ -249,14 +247,14 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, n_real, d_real,
     # Mosaic cannot prove dynamic single-lane stores aligned; write via a
     # lane-masked read-modify-write of the (N, 128) block instead (the block
     # is revisited for 128 consecutive steps, so this stays in VMEM).
-    # valid and d_R share one packed int32 output (valid*256 + d_R).
+    # out1 = valid<<16 | d_int<<8 | d_R; out2 = (sm-s0)<<12 | (sp-s0).
     xm = x % 128
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)
     hit = lane128 == xm
-    vd = valid.astype(jnp.int32) * 256 + d_r
-    disp_ref[...] = jnp.where(hit, jnp.broadcast_to(disp, (N, 128)),
-                              disp_ref[...])
-    vd_ref[...] = jnp.where(hit, jnp.broadcast_to(vd, (N, 128)), vd_ref[...])
+    o1 = valid.astype(jnp.int32) * 65536 + d_int * 256 + d_r
+    o1_ref[...] = jnp.where(hit, jnp.broadcast_to(o1, (N, 128)), o1_ref[...])
+    o2_ref[...] = jnp.where(hit, jnp.broadcast_to(deltas, (N, 128)),
+                            o2_ref[...])
 
 
 def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
@@ -266,9 +264,12 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
     """Backward-horizontal sweep over Ct (W, N, D) + fused WTA.
 
     St: partial path sums from the other 7 directions, same layout.
-    Returns (disp float32, valid bool-as-int32, d_r int32), each (N, Wx)
-    with Wx = W rounded up to 128 — callers slice columns [:w_real] and
-    transposed rows as needed.
+    Returns (disp float32, valid bool, d_r int32), each (N, Wx) with Wx =
+    W rounded up to 128 — callers slice columns [:w_real] and transposed
+    rows as needed. The kernel emits packed integer maps; the subpixel
+    parabola floats are computed here from the packed deltas with exactly
+    the golden ops (integer deltas <= 8*(C_max+P2) < 4096 are exact in
+    f32, so the result is bit-identical to the in-kernel float version).
     """
     T, N, D = Ct.shape
     Wx = _round_up(T, 128)
@@ -290,19 +291,32 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
         _bwd_wta_kernel, cfg=cfg, p1=cfg.p1, p2_const=cfg.p2, n_real=N,
         d_real=d_real, w_real=w_real, has_p2m=p2_maps is not None)
 
-    disp, vd = pl.pallas_call(
+    o1, o2 = pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=in_specs,
         out_specs=(pl.BlockSpec((N, 128), omap, memory_space=pltpu.VMEM),
                    pl.BlockSpec((N, 128), omap, memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((N, Wx), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((N, Wx), jnp.int32),
                    jax.ShapeDtypeStruct((N, Wx), jnp.int32)),
         scratch_shapes=[pltpu.VMEM((N, D), jnp.int32),
                         pltpu.VMEM((N, D), jnp.int32)],
         interpret=interpret,
     )(*operands)
-    return disp, vd >= 256, vd & 255
+    valid = o1 >= 65536
+    d_int = (o1 >> 8) & 255
+    d_r = o1 & 255
+    disp = d_int.astype(jnp.float32)
+    if cfg.subpixel:
+        dm = (o2 >> 12).astype(jnp.float32)   # sm - s0
+        dp = (o2 & 4095).astype(jnp.float32)  # sp - s0
+        denom = dm + dp                        # == smf - 2*s0f + spf exactly
+        offs = jnp.where(denom > 0,
+                         (dm - dp) / jnp.maximum(2.0 * denom, 1e-9), 0.0)
+        offs = jnp.clip(offs, -0.5, 0.5)
+        interior = (d_int > 0) & (d_int < d_real - 1)
+        disp = disp + jnp.where(interior, offs, 0.0)
+    return disp, valid, d_r
 
 
 def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,

@@ -79,9 +79,11 @@ def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """Single-pair pipeline: (H, W) uint8 ×2 -> (H, W) float32 disparity."""
     mode = _pallas_mode(cfg)
     # kernel preconditions: census fits one uint32 plane; the packed-argmin
-    # and log-shear tricks assume D <= 128 lanes
+    # and log-shear tricks assume D <= 128 lanes; the 12-bit parabola-delta
+    # packing assumes S_max = paths*(C_max+P2) < 4096
     if (cfg.mode == "sgm" and mode != "off" and cfg.census_bits <= 32
-            and cfg.num_disparities <= 128):
+            and cfg.num_disparities <= 128
+            and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096):
         # fully fused kernel path: cost -> sweeps -> WTA without the
         # completed S volume ever round-tripping HBM
         from tpustereo.kernels import census_cost_volume_pallas, sgm_select_pallas
