@@ -11,6 +11,17 @@ import jax.numpy as jnp
 _EPS = 1e-8
 
 
+def _safe_theta(w):
+    """(…, 3) -> (t2, theta) with theta = ||w|| computed so the derivative
+    at w = 0 is finite (jnp.linalg.norm's jvp at 0 is NaN — this breaks
+    jacfwd through exp/log at the identity, which is exactly where the
+    pose-graph GN linearises). theta is clamped below at _EPS; callers'
+    small-angle branches use t2 directly."""
+    t2 = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]
+    theta = jnp.sqrt(jnp.maximum(t2, _EPS * _EPS))
+    return t2, theta
+
+
 def hat(w: jnp.ndarray) -> jnp.ndarray:
     """(…, 3) -> (…, 3, 3) skew-symmetric."""
     wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
@@ -24,10 +35,9 @@ def hat(w: jnp.ndarray) -> jnp.ndarray:
 
 def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: (…, 3) -> (…, 3, 3)."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    t2, theta = _safe_theta(w)
     K = hat(w)
     K2 = K @ K
-    t2 = theta * theta
     # sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks
     a = jnp.where(theta > _EPS, jnp.sin(theta) / jnp.maximum(theta, _EPS),
                   1.0 - t2 / 6.0)
@@ -55,10 +65,9 @@ def exp_se3(xi: jnp.ndarray) -> jnp.ndarray:
     """se(3) tangent (…, 6) [rho, w] -> (…, 4, 4) homogeneous transform."""
     rho, w = xi[..., :3], xi[..., 3:]
     R = exp_so3(w)
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    t2, theta = _safe_theta(w)
     K = hat(w)
     K2 = K @ K
-    t2 = theta * theta
     b = jnp.where(theta > _EPS, (1.0 - jnp.cos(theta)) / jnp.maximum(t2, _EPS * _EPS),
                   0.5 - t2 / 24.0)
     c = jnp.where(theta > _EPS,
@@ -77,10 +86,9 @@ def log_se3(T: jnp.ndarray) -> jnp.ndarray:
     """(…, 4, 4) -> (…, 6) [rho, w]."""
     R, t = T[..., :3, :3], T[..., :3, 3]
     w = log_so3(R)
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    t2, theta = _safe_theta(w)
     K = hat(w)
     K2 = K @ K
-    t2 = theta * theta
     # V^{-1} = I - K/2 + (1/t^2 - (1+cos)/(2 t sin)) K^2
     cot_term = jnp.where(
         theta > _EPS,
