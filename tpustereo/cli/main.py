@@ -164,15 +164,13 @@ def cmd_odometry(args) -> int:
         calib, frames = kitti_odometry_sequence(args.root, args.sequence,
                                                 max_frames=args.max_frames)
         frames = list(frames)
-    else:  # synthetic sanity sequence: camera translating along x
-        from tpustereo.data.synthetic import synthetic_pair
-        calib = KittiCalib(fx=500.0, fy=500.0, cx=64.0, cy=48.0, baseline=0.5)
+        gt = None
+    else:  # geometrically consistent synthetic sequence with known poses
+        from tpustereo.data.synthetic import synthetic_sequence
         n = args.max_frames or 10
-        frames = []
-        for i in range(n):
-            L, R, _, _ = synthetic_pair((96, 128), disparity=16.0 + 0.5 * i,
-                                        slope=0.0, seed=3)
-            frames.append((L, R))
+        calib, frames, gt = synthetic_sequence(
+            n_frames=n, shape=(96, 128), depth=8.0, fx=200.0, baseline=0.5,
+            step_x=0.08, slant=0.35, seed=3)
 
     if args.resume and args.checkpoint:
         odo = StereoOdometry.resume(args.checkpoint, calib, cfg)
@@ -191,6 +189,10 @@ def cmd_odometry(args) -> int:
         print(f"frame {i}: t=({pose[0,3]:+.3f}, {pose[1,3]:+.3f}, {pose[2,3]:+.3f})",
               file=sys.stderr)
     traj = odo.trajectory()
+    if gt is not None and len(traj) == len(gt):
+        err = np.linalg.norm(traj[:, :3, 3] - gt[:, :3, 3], axis=-1)
+        print(f"vs ground truth: final error {err[-1]:.3f} m over "
+              f"{np.linalg.norm(gt[-1, :3, 3]):.3f} m travelled")
     if args.out:
         np.savetxt(args.out, traj[:, :3, :].reshape(len(traj), 12), fmt="%.6e")
         print(f"wrote {args.out} (KITTI pose format, {len(traj)} frames)")

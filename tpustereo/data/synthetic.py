@@ -78,3 +78,55 @@ def synthetic_pair(shape=(96, 128), disparity=8.0, slope=0.0, seed=0,
 
     valid = (xl - d) >= 0.0  # match inside the right image
     return left_u8, right_u8, d.astype(np.float32), valid
+
+
+def synthetic_sequence(n_frames: int = 8, shape=(96, 128), depth: float = 8.0,
+                       fx: float = 200.0, baseline: float = 0.5,
+                       step_x: float = 0.1, slant: float = 0.3,
+                       seed: int = 0):
+    """Geometrically consistent stereo sequence: a textured world plane
+    Z(U) = depth + slant*U viewed by a camera translating along +x by
+    `step_x` metres per frame. All views are exact closed-form resamplings
+    of one texture, ground-truth poses are known, and the slant gives the
+    scene depth variation — a fronto-parallel plane under a narrow FOV
+    makes x-translation and yaw nearly indistinguishable, which is a scene
+    degeneracy, not an estimator bug (SURVEY.md §4.4).
+
+    Returns (calib, [(left, right)...], gt_poses (n, 4, 4) world<-cam).
+
+    Geometry: pixel x of a camera at world x = c sees the plane point with
+    U solving (U - c)/Z(U) = xi, xi = (x - cx)/fx:
+        U = (c + xi*depth) / (1 - xi*slant).
+    """
+    from tpustereo.data.datasets import KittiCalib
+    H, W = shape
+    cx = W / 2.0
+    scale = fx / depth                 # texture pixels per world metre
+    xs = np.broadcast_to(np.arange(W, dtype=np.float64)[None, :], (H, W))
+    xi = (xs - cx) / fx
+
+    def u_of(cam_x):
+        return (cam_x + xi * depth) / (1.0 - xi * slant)
+
+    # texture span: U across all frames/cameras, converted to tex pixels
+    cams = [i * step_x for i in range(n_frames)]
+    cams += [c + baseline for c in cams]
+    u_min = min(float(u_of(c).min()) for c in cams)
+    u_max = max(float(u_of(c).max()) for c in cams)
+    span = int(np.ceil((u_max - u_min) * scale)) + 8
+    tex = _texture(H, span, seed)
+    lo, hi = tex.min(), tex.max()
+
+    def render(cam_x):
+        coords = (u_of(cam_x) - u_min) * scale
+        img = _sample(tex, coords)
+        return np.clip((img - lo) / (hi - lo) * 255.0, 0, 255).astype(np.uint8)
+
+    frames = []
+    poses = np.zeros((n_frames, 4, 4), np.float32)
+    for i in range(n_frames):
+        frames.append((render(i * step_x), render(i * step_x + baseline)))
+        poses[i] = np.eye(4)
+        poses[i][0, 3] = step_x * i
+    calib = KittiCalib(fx=fx, fy=fx, cx=cx, cy=H / 2.0, baseline=baseline)
+    return calib, frames, poses

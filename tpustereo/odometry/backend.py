@@ -67,8 +67,13 @@ class StereoOdometry:
         return np.asarray(pts), np.asarray(desc), np.asarray(valid)
 
     def _backproject(self, pts: np.ndarray, disp: np.ndarray):
-        """3D points (camera frame) at corner pixels from the disparity map."""
-        d = disp[pts[:, 0], pts[:, 1]]
+        """3D points (camera frame) at corner pixels from the disparity map.
+        pts may be subpixel floats; the disparity lookup rounds, the ray
+        uses the subpixel position."""
+        pi = np.round(pts).astype(np.int64)
+        pi[:, 0] = np.clip(pi[:, 0], 0, disp.shape[0] - 1)
+        pi[:, 1] = np.clip(pi[:, 1], 0, disp.shape[1] - 1)
+        d = disp[pi[:, 0], pi[:, 1]]
         z = np.where(d > 0, self.calib.fx * self.calib.baseline
                      / np.maximum(d, 1e-6), 0.0)
         ok = (z > self.ocfg.min_depth) & (z < self.ocfg.max_depth)

@@ -63,8 +63,25 @@ def detect_corners(img: jnp.ndarray, max_corners: int = 256,
     inb = (yy >= border) & (yy < H - border) & (xx >= border) & (xx < W - border)
     score = jnp.where(keep & inb, resp, -jnp.inf).reshape(-1)
     idx = jnp.argsort(-score)[:max_corners]
-    pts = jnp.stack([idx // W, idx % W], -1).astype(jnp.int32)
+    iy, ix = idx // W, idx % W
     valid = score[idx] > -jnp.inf
+
+    # subpixel refinement: 1-D parabola fits on the response along y and x
+    # (integer corner positions quantise small optical flows — a 2 px
+    # inter-frame flow carries ±0.5 px = 25% noise otherwise)
+    def paraboloid(m, p, c):
+        denom = m - 2.0 * c + p
+        off = jnp.where(denom < 0, (m - p) / jnp.where(denom == 0, 1.0,
+                                                       2.0 * denom), 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    c0 = resp[iy, ix]
+    offy = paraboloid(resp[jnp.maximum(iy - 1, 0), ix],
+                      resp[jnp.minimum(iy + 1, H - 1), ix], c0)
+    offx = paraboloid(resp[iy, jnp.maximum(ix - 1, 0)],
+                      resp[iy, jnp.minimum(ix + 1, W - 1)], c0)
+    pts = jnp.stack([iy.astype(jnp.float32) + offy,
+                     ix.astype(jnp.float32) + offx], -1)
     return pts, valid
 
 
@@ -80,10 +97,11 @@ def describe(img: jnp.ndarray, pts: jnp.ndarray, patch: int = 8) -> jnp.ndarray:
     r = patch // 2
     fp = jnp.pad(f, r, mode="edge")
 
-    offs = jnp.arange(patch) - r + r  # offsets into padded image
+    ip = jnp.round(pts).astype(jnp.int32)  # pts may be subpixel floats
+
     def grab(pt):
         return jax.lax.dynamic_slice(fp, (pt[0], pt[1]), (patch, patch))
-    patches = jax.vmap(grab)(pts).reshape(pts.shape[0], -1)
+    patches = jax.vmap(grab)(ip).reshape(pts.shape[0], -1)
     patches = patches - patches.mean(-1, keepdims=True)
     norm = jnp.linalg.norm(patches, axis=-1, keepdims=True)
     return patches / jnp.maximum(norm, 1e-6)
