@@ -126,3 +126,15 @@ def test_fuzz_random_configs_pallas_vs_jnp(rng):
         a = np.asarray(sgbm(l8, r8, cfg.replace(backend="jnp")))
         b = np.asarray(sgbm(l8, r8, cfg.replace(backend="pallas")))
         np.testing.assert_array_equal(a, b, err_msg=f"cfg={cfg}")
+
+
+def test_census_cost_volume_pallas_two_planes(small_pair):
+    """9x7 census (62 bits) exercises the multi-plane kernel path."""
+    from tpustereo.kernels import census_cost_volume_pallas
+    L, R, _, _ = small_pair
+    l8, r8 = jnp.asarray(L), jnp.asarray(R)
+    win = (9, 7)
+    ref = np.asarray(cost_volume(census(l8, win), census(r8, win), 32, 62))
+    pal = np.asarray(census_cost_volume_pallas(l8, r8, 32, 62, win,
+                                               interpret=True))
+    np.testing.assert_array_equal(ref, pal)

@@ -18,7 +18,7 @@ via full-width `pltpu.roll` (margins guarantee no wrap into real lanes).
 The output is written full-block in the margin-bearing Wq frame and sliced
 by the caller.
 
-Supports census windows up to 32 bits and height <= 2*R+1; the jnp fallback
+Supports census windows up to 64 bits (two bitplanes); the jnp fallback
 (`ops.census` + `ops.cost_volume`) covers larger windows. Bit-exact vs the
 fallback and `golden.cost_volume_numpy`.
 """
@@ -50,13 +50,14 @@ def _popcount32(v: jnp.ndarray) -> jnp.ndarray:
     return v & 0x3F
 
 
-def _census_from_shifts(rows, rx: int) -> jnp.ndarray:
+def _census_from_shifts(rows, rx: int) -> list:
     """rows: list over dy of (R, Wq) int32 row-planes (dy-shifted image);
-    returns (R, Wq) int32 census at every lane (margins produce junk that
-    callers never read). Column shifts via rolls — roll(x, s)[i] = x[i-s],
-    so neighbour col l+dx is roll by -dx."""
+    returns the census as a list of (R, Wq) int32 bitplanes (margins
+    produce junk that callers never read). Column shifts via rolls —
+    roll(x, s)[i] = x[i-s], so neighbour col l+dx is roll by -dx."""
     Wq = rows[0].shape[1]
     center = rows[len(rows) // 2]
+    planes = []
     out = jnp.zeros(center.shape, jnp.int32)
     bit = 0
     for buf in rows:
@@ -64,9 +65,14 @@ def _census_from_shifts(rows, rx: int) -> jnp.ndarray:
             if buf is center and dx == 0:
                 continue
             q = pltpu.roll(buf, (-dx) % Wq, axis=1)
-            out = out | ((q < center).astype(jnp.int32) << bit)
+            out = out | ((q < center).astype(jnp.int32) << (bit % 32))
             bit += 1
-    return out
+            if bit % 32 == 0:
+                planes.append(out)
+                out = jnp.zeros(center.shape, jnp.int32)
+    if bit % 32:
+        planes.append(out)
+    return planes
 
 
 def _shear_down(slab: jnp.ndarray, lane: jnp.ndarray) -> jnp.ndarray:
@@ -81,15 +87,18 @@ def _kernel(*refs, n_dy, rx, d_real, max_cost, w_real):
     l_refs = refs[:n_dy]
     r_refs = refs[n_dy:2 * n_dy]
     out_ref = refs[2 * n_dy]
-    cl = _census_from_shifts([r[0] for r in l_refs], rx)   # (R, Wq) int32
+    cl = _census_from_shifts([r[0] for r in l_refs], rx)   # plane list
     cr = _census_from_shifts([r[0] for r in r_refs], rx)
 
-    R, Wq = cl.shape
+    R, Wq = cl[0].shape
     D = out_ref.shape[2]
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, Wq, D), 2)
     col = jax.lax.broadcasted_iota(jnp.int32, (R, Wq, D), 1) - rx  # real x
-    crs = _shear_down(jnp.broadcast_to(cr[..., None], (R, Wq, D)), lane)
-    pc = _popcount32(cl[..., None] ^ crs)
+    pc = None
+    for clp, crp in zip(cl, cr):
+        crs = _shear_down(jnp.broadcast_to(crp[..., None], (R, Wq, D)), lane)
+        p = _popcount32(clp[..., None] ^ crs)
+        pc = p if pc is None else pc + p
     pc = jnp.where((col - lane < 0) | (lane >= d_real) | (col >= w_real),
                    max_cost, pc)
     out_ref[...] = pc.astype(jnp.uint8)
@@ -105,7 +114,7 @@ def census_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
     fits 32 bits.
     """
     ch, cw = window
-    assert ch * cw - 1 <= 32, "Pallas census kernel supports <=32 bits"
+    assert ch * cw - 1 <= 64, "Pallas census kernel supports <=64 bits"
     ry, rx = ch // 2, cw // 2
     H, W = left.shape
     Dp = _round_up(num_disp, 128)

@@ -30,7 +30,7 @@ def sgbm_volume(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
         return sad_volume(left, right, cfg.num_disparities, cfg.sad_block)
     mode = _pallas_mode(cfg)
     interp = mode == "interpret"
-    if mode != "off" and cfg.census_bits <= 32 and cfg.num_disparities <= 128:
+    if mode != "off" and cfg.census_bits <= 64 and cfg.num_disparities <= 128:
         from tpustereo.kernels import census_cost_volume_pallas
         C = census_cost_volume_pallas(left, right, cfg.num_disparities,
                                       cfg.max_census_cost, cfg.census_window,
@@ -78,10 +78,10 @@ def _postproc(disp, valid, cfg: Config):
 def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """Single-pair pipeline: (H, W) uint8 ×2 -> (H, W) float32 disparity."""
     mode = _pallas_mode(cfg)
-    # kernel preconditions: census fits one uint32 plane; the packed-argmin
+    # kernel preconditions: census fits two uint32 planes; the packed-argmin
     # and log-shear tricks assume D <= 128 lanes; the 12-bit parabola-delta
     # packing assumes S_max = paths*(C_max+P2) < 4096
-    if (cfg.mode == "sgm" and mode != "off" and cfg.census_bits <= 32
+    if (cfg.mode == "sgm" and mode != "off" and cfg.census_bits <= 64
             and cfg.num_disparities <= 128
             and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096):
         # fully fused kernel path: cost -> sweeps -> WTA without the
