@@ -37,7 +37,7 @@ from tpustereo.ops import census, cost_volume, lr_check, median3, sad_volume, sp
 from tpustereo.ops.sgm import DIRS_4, DIRS_8, aggregate_path, p2_map
 from tpustereo.pipeline.sgbm import INVALID
 
-_BIG = jnp.int32(1 << 24)
+_BIG = 1 << 24  # plain int: module import must not initialise the backend
 AXIS = "strip"
 
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from tpustereo.config import Config
 
-_BIG = jnp.int32(1 << 24)
+_BIG = 1 << 24  # plain int: module import must not initialise the backend
 
 
 # ---------------------------------------------------------------------------

@@ -18,7 +18,7 @@ from tpustereo.config import Config
 from tpustereo.ops import (aggregate, census, cost_volume, lr_check, median3,
                            sad_volume, speckle, wta)
 
-INVALID = jnp.float32(-1.0)
+INVALID = -1.0  # plain float: module import must not initialise the backend
 
 
 from tpustereo.utils.backend import pallas_mode as _pallas_mode  # noqa: E402
