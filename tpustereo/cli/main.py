@@ -134,7 +134,12 @@ def cmd_bench(args) -> int:
                            batch=args.batch, iters=args.iters,
                            stages=args.stages, tiled=args.tiled,
                            profile_dir=args.profile)
-    print(json.dumps(record, indent=2))
+    if args.report:
+        # BASELINE.md-style markdown row (SURVEY.md §5.5)
+        print(f"| {args.preset or cfg.mode} | {args.shape} "
+              f"| {record['ms_per_frame']} | {record['value']} |")
+    else:
+        print(json.dumps(record, indent=2))
     if args.record:
         with open(args.record, "a") as f:
             f.write(json.dumps(record) + "\n")
@@ -224,6 +229,8 @@ def main(argv=None) -> int:
     b.add_argument("--record", help="append the JSON record to this file")
     b.add_argument("--profile", metavar="DIR",
                    help="write a jax.profiler trace of the timed loop")
+    b.add_argument("--report", action="store_true",
+                   help="print a BASELINE.md-style markdown row instead of JSON")
     b.set_defaults(fn=cmd_bench)
 
     e = sub.add_parser("eval", help="D1-all / bad-2.0 vs ground truth")

@@ -25,29 +25,6 @@ def _git_sha() -> str:
         return "unknown"
 
 
-def _time_fn(fn, iters: int) -> float:
-    """Seconds per call, warmup excluded, host-synchronised.
-
-    NB on the axon-tunnelled dev chip `block_until_ready` does not actually
-    block; only a host transfer synchronises. The scalar fetch per batch of
-    calls keeps the tunnel round-trip (~30-45 ms) out of the per-call
-    number only when amortised — prefer `_timed_device_loop` for kernels.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    def sync(x):
-        leaf = jax.tree_util.tree_leaves(x)[0]
-        return float(jnp.sum(leaf.astype(jnp.float32)))
-
-    sync(fn())
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    sync(out)
-    return (time.perf_counter() - t0) / iters
-
-
 def _timed_device_loop(fn, *args, iters: int = 20) -> float:
     """Seconds per call of fn(*args), amortised inside ONE XLA program so
     dispatch/tunnel latency cannot pollute the number. A per-iteration tweak
