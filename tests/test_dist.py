@@ -133,3 +133,15 @@ def test_disp_axis_sharding_matches_single(pair):
     C = cost_volume(census(l8), census(r8), 32, cfg.max_census_cost)
     _, d_int, _ = wta(C.astype(jnp.int16), cfg)
     np.testing.assert_array_equal(out, np.asarray(d_int).astype(np.float32))
+
+
+def test_tiled_halo_fused_kernels_match_jnp(pair):
+    """The halo-tiled pallas (fused kernels, interpret) path must equal the
+    halo-tiled jnp path exactly — same halo approximation, same math."""
+    L, R, _, _ = pair
+    l8, r8 = jnp.asarray(L), jnp.asarray(R)
+    cfg = _cfg(mode="sgm", paths=8, halo=12, strips=2)
+    mesh = make_mesh(data=1, strip=2)
+    a = np.asarray(sgbm_tiled(l8, r8, cfg.replace(backend="jnp"), mesh))
+    b = np.asarray(sgbm_tiled(l8, r8, cfg.replace(backend="pallas"), mesh))
+    np.testing.assert_array_equal(a, b)

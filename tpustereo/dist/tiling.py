@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from tpustereo.config import Config
 from tpustereo.ops import census, cost_volume, lr_check, median3, sad_volume, speckle, wta
@@ -180,13 +180,53 @@ def _volume_local(left_loc, right_loc, cfg: Config):
     return S[h:S.shape[0] - h]
 
 
+def _sgbm_strip_fused(left_loc, right_loc, cfg: Config, interp: bool):
+    """Halo-mode strip body on the fused kernel path: extended-strip cost
+    kernel -> sgm_select (sweeps + WTA + d_R in one pass) -> discard halo
+    rows -> strip-local d_L/d_R consistency. Identical math to the jnp
+    halo branch (WTA and the LR re-index are row-local, so selecting on
+    the extended strip then slicing equals slicing S then selecting)."""
+    from tpustereo.kernels import census_cost_volume_pallas, sgm_select_pallas
+    from tpustereo.ops.postproc import dr_consistency
+    ry = cfg.census_window[0] // 2
+    h = min(max(cfg.halo, ry), left_loc.shape[0])
+    ext_l = halo_exchange(left_loc, h)
+    ext_r = halo_exchange(right_loc, h)
+    C = census_cost_volume_pallas(ext_l, ext_r, cfg.num_disparities,
+                                  cfg.max_census_cost, cfg.census_window,
+                                  interpret=interp)
+    # out-of-image halo rows get uniform zero cost (fresh path start), as
+    # in the jnp halo branch
+    n = lax.axis_size(AXIS)
+    i = lax.axis_index(AXIS)
+    rows = jnp.arange(C.shape[0])[:, None, None]
+    oob = ((i == 0) & (rows < h)) | ((i == n - 1) & (rows >= C.shape[0] - h))
+    C = jnp.where(oob, jnp.uint8(0), C)
+    disp_e, valid_e, dr_e = sgm_select_pallas(C, cfg, ext_l, interpret=interp)
+    sl = slice(h, disp_e.shape[0] - h)
+    disp, valid, d_r = disp_e[sl], valid_e[sl], dr_e[sl]
+    if cfg.disp12_max_diff >= 0:
+        valid &= dr_consistency(d_r, disp, cfg.num_disparities,
+                                cfg.disp12_max_diff)
+    return disp, valid
+
+
 def _sgbm_strip(left_loc, right_loc, cfg: Config):
     """Full pipeline body inside shard_map: local volume + WTA/LR, then
     global (all_gathered) speckle + median — postproc is bit-exact with
     the untiled pipeline."""
-    S = _volume_local(left_loc, right_loc, cfg)
-    disp, d_int, valid = wta(S, cfg)
-    valid &= lr_check(S, disp, cfg)
+    from tpustereo.utils.backend import pallas_mode
+    mode = pallas_mode(cfg)
+    fused_ok = (cfg.mode == "sgm" and not cfg.exact_tiling and mode != "off"
+                and cfg.census_bits <= 64 and cfg.num_disparities <= 128
+                and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096)
+    if fused_ok:
+        disp, valid = _sgbm_strip_fused(left_loc, right_loc, cfg,
+                                        interp=(mode == "interpret"))
+    else:
+        S = _volume_local(left_loc, right_loc, cfg)
+        disp, d_int, valid = wta(S, cfg)
+        valid &= lr_check(S, disp, cfg)
 
     full_disp = lax.all_gather(disp, AXIS, tiled=True)
     full_valid = lax.all_gather(valid, AXIS, tiled=True)
@@ -206,7 +246,7 @@ def sgbm_tiled(left, right, cfg: Config, mesh: Mesh):
     """
     fn = shard_map(partial(_sgbm_strip, cfg=cfg), mesh=mesh,
                    in_specs=(P(AXIS, None), P(AXIS, None)),
-                   out_specs=P(AXIS, None))
+                   out_specs=P(AXIS, None), check_vma=False)
     return fn(left, right)
 
 
@@ -217,5 +257,5 @@ def sgbm_tiled_batched(left, right, cfg: Config, mesh: Mesh):
     body = jax.vmap(partial(_sgbm_strip, cfg=cfg))
     fn = shard_map(body, mesh=mesh,
                    in_specs=(P("data", AXIS, None), P("data", AXIS, None)),
-                   out_specs=P("data", AXIS, None))
+                   out_specs=P("data", AXIS, None), check_vma=False)
     return fn(left, right)
