@@ -45,6 +45,15 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _min_lanes_full(x: jnp.ndarray) -> jnp.ndarray:
+    """All-lanes min replicated to every lane via a log roll-tree (Mosaic's
+    native lane reduce measured ~4x slower; see sgm_pallas)."""
+    assert x.shape[-1] == 128, x.shape
+    for b in range(7):
+        x = jnp.minimum(x, pltpu.roll(x, 1 << b, axis=x.ndim - 1))
+    return x
+
+
 def _shear(slab: jnp.ndarray, lane: jnp.ndarray, up: bool) -> jnp.ndarray:
     """Lane-dependent roll along axis 1: out[.., x, d] = slab[.., x+d, d]
     (up) or slab[.., x-d, d] (down), wrapping mod W — callers mask the wrap.
@@ -66,24 +75,22 @@ def _kernel(s_ref, disp_ref, valid_ref, *, cfg: Config, w_real: int,
     if d_real < D:
         s = jnp.where(lane >= d_real, _BIG, s)
 
-    m = jnp.min(s * 256 + lane, axis=2, keepdims=True)  # (R, W, 1)
+    m = _min_lanes_full(s * 256 + lane)[..., :1]        # (R, W, 1)
     best = m >> 8
     d_int = m & 255
 
     valid = col < w_real
     if cfg.uniqueness_ratio > 0:
         masked = jnp.where(jnp.abs(lane - d_int) <= 1, _BIG * 256, s)
-        second = jnp.min(masked, axis=2, keepdims=True)
+        second = _min_lanes_full(masked)[..., :1]
         valid &= ~(second * 100 < best * (100 + cfg.uniqueness_ratio))
 
     disp = d_int.astype(jnp.float32)
     if cfg.subpixel:
         dm = jnp.maximum(d_int - 1, 0)
         dp = jnp.minimum(d_int + 1, d_real - 1)
-        sm = jnp.min(jnp.where(lane == dm, s, _BIG * 256), axis=2,
-                     keepdims=True)
-        sp = jnp.min(jnp.where(lane == dp, s, _BIG * 256), axis=2,
-                     keepdims=True)
+        sm = _min_lanes_full(jnp.where(lane == dm, s, _BIG * 256))[..., :1]
+        sp = _min_lanes_full(jnp.where(lane == dp, s, _BIG * 256))[..., :1]
         smf, spf = sm.astype(jnp.float32), sp.astype(jnp.float32)
         s0 = best.astype(jnp.float32)
         denom = smf - 2.0 * s0 + spf
@@ -98,13 +105,13 @@ def _kernel(s_ref, disp_ref, valid_ref, *, cfg: Config, w_real: int,
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (R, W, D), 1)
         diag = _shear(s, lane, up=True)
         diag = jnp.where(lane_w + lane > w_real - 1, _BIG, diag)
-        mr = jnp.min(diag * 256 + lane, axis=2, keepdims=True)
+        mr = _min_lanes_full(diag * 256 + lane)[..., :1]
         d_r = mr & 255                                   # (R, W, 1)
         # d_R at x - d_L via down-shear of the broadcast d_R column
         G = _shear(jnp.broadcast_to(d_r, (R, W, D)), lane, up=False)
         G = jnp.where(lane_w - lane < 0, (1 << 12), G)
         dl = jnp.round(disp).astype(jnp.int32)           # (R, W, 1)
-        dr_at = jnp.min(jnp.where(lane == dl, G, _BIG), axis=2, keepdims=True)
+        dr_at = _min_lanes_full(jnp.where(lane == dl, G, _BIG))[..., :1]
         valid &= (col >= dl) & (jnp.abs(dl - dr_at) <= cfg.disp12_max_diff)
 
     disp_ref[0] = disp[..., 0]
