@@ -43,3 +43,33 @@ def const_pair():
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+def hilbert_path_mask(order: int) -> np.ndarray:
+    """Thin 4-connected path tracing the order-n Hilbert curve, drawn at
+    2x scale so it is one pixel wide: (2*2^n, 2*2^n) bool with O(4^n) bends
+    — the worst case for iterative min-label propagation (each row+col
+    sweep pair crosses only ~2 bends)."""
+    n = 1 << order
+    cells = []
+    for d in range(n * n):
+        x = y = 0
+        t, s = d, 1
+        while s < n:
+            rx = 1 & (t // 2)
+            ry = 1 & (t ^ rx)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            x += s * rx
+            y += s * ry
+            t //= 4
+            s *= 2
+        cells.append((y, x))
+    mask = np.zeros((2 * n, 2 * n), bool)
+    for (y0, x0), (y1, x1) in zip(cells, cells[1:]):
+        mask[2 * y0, 2 * x0] = True
+        mask[y0 + y1, x0 + x1] = True  # midpoint connector
+    mask[2 * cells[-1][0], 2 * cells[-1][1]] = True
+    return mask

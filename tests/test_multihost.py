@@ -34,8 +34,8 @@ def _free_port():
     return port
 
 
-@pytest.mark.timeout(240)
 def test_two_process_psum(tmp_path):
+    # no pytest-timeout on this box; communicate(timeout=220) is the guard
     port = _free_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)  # one device per process

@@ -125,6 +125,48 @@ def test_speckle_worst_case_snake():
     assert j[0, 0] and j[H - 1, W - 1]  # kept
 
 
+def test_speckle_hilbert_component(rng):
+    # ADVICE r1 (high): a high-bend component (order-4 Hilbert path, ~190
+    # bends on a 32x32 grid) must converge to ONE label — the old H+W
+    # iteration cap silently fragmented it and speckle-killed the pieces.
+    from tests.conftest import hilbert_path_mask
+    from tpustereo.ops.postproc import connected_component_labels
+    valid = hilbert_path_mask(4)           # (32, 32), 511-px thin component
+    H, W = valid.shape
+    disp = np.zeros((H, W), np.float32)
+    cfg = Config(speckle_window_size=300, speckle_range=2)
+    g = golden.speckle_numpy(disp, valid, cfg)
+    j = np.asarray(speckle(jnp.asarray(disp), jnp.asarray(valid), cfg))
+    assert (g == j).all()
+    assert j[valid].all()                  # component kept (511 >= 300)
+    conn_h = valid[:, :-1] & valid[:, 1:]
+    conn_v = valid[:-1, :] & valid[1:, :]
+    lab = np.asarray(connected_component_labels(jnp.asarray(conn_h),
+                                                jnp.asarray(conn_v)))
+    assert np.unique(lab[valid]).size == 1
+
+
+def test_wta_lr_large_disparity_count(rng):
+    # ADVICE r1 (medium): packed argmin / LR packing exact beyond D=256
+    H, W, D = 12, 48, 320
+    S = rng.integers(0, 500, (H, W, D)).astype(np.int32)
+    cfg = Config(num_disparities=D, subpixel=True, uniqueness_ratio=10,
+                 disp12_max_diff=1)
+    gd, gi, gv = golden.wta_numpy(S, cfg)
+    jd, ji, jv = wta(jnp.asarray(S), cfg)
+    assert (gi == np.asarray(ji)).all()
+    assert (gv == np.asarray(jv)).all()
+    assert np.abs(gd - np.asarray(jd)).max() < 1e-4
+    g = golden.lr_check_numpy(S, gi, gd, cfg)
+    j = np.asarray(lr_check(jnp.asarray(S), jnp.asarray(gd), cfg))
+    assert (g == j).all()
+
+
+def test_config_rejects_oversized_d():
+    with pytest.raises(ValueError):
+        Config(num_disparities=2048)
+
+
 def test_median3_parity(pair):
     L, _, _, _ = pair
     x = L.astype(np.float32)

@@ -104,6 +104,21 @@ def test_cc_pallas_bit_exact(rng, shape):
     np.testing.assert_array_equal(ref, pal)
 
 
+def test_cc_pallas_hilbert_component(rng):
+    # ADVICE r1 (high): high-bend component must converge (see the jnp twin
+    # in test_ops_parity.py); the kernel's old Hp+Wq cap fragmented it.
+    from tests.conftest import hilbert_path_mask
+    from tpustereo.ops.postproc import connected_component_labels
+    from tpustereo.kernels import connected_component_labels_pallas
+    valid = hilbert_path_mask(4)
+    ch = jnp.asarray(valid[:, :-1] & valid[:, 1:])
+    cv = jnp.asarray(valid[:-1, :] & valid[1:, :])
+    ref = np.asarray(connected_component_labels(ch, cv))
+    pal = np.asarray(connected_component_labels_pallas(ch, cv, interpret=True))
+    np.testing.assert_array_equal(ref, pal)
+    assert np.unique(pal[valid]).size == 1
+
+
 def test_fuzz_random_configs_pallas_vs_jnp(rng):
     """Random config fuzz: the dispatcher must produce identical pipelines
     for every knob combination (interpret mode on CPU)."""

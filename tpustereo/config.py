@@ -66,6 +66,11 @@ class Config:
             raise ValueError("paths must be 4 or 8")
         if self.num_disparities <= 0:
             raise ValueError("num_disparities must be positive")
+        if self.num_disparities > 1024:
+            # the gather-free packed argmins (ops/wta.py, ops/postproc.py,
+            # dist/disp_shard.py) pack value*next_pow2(D)+d into int32;
+            # 1024 leaves >2^20 of value headroom for every cost mode
+            raise ValueError("num_disparities > 1024 unsupported")
         ch, cw = self.census_window
         if ch % 2 == 0 or cw % 2 == 0:
             raise ValueError("census window dims must be odd")

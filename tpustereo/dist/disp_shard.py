@@ -47,11 +47,13 @@ def _wta_disp_sharded(left, right, cfg: Config):
         vol = cost_volume(cl, cr, Dl, cfg.max_census_cost,
                           d_start=d0).astype(jnp.int32)
 
+    from tpustereo.ops.wta import next_pow2
+    shift = next_pow2(max(D, 2))  # scales with D; a fixed 256 capped D at 256
     dd = d0 + jnp.arange(Dl)[None, None, :]
-    packed = vol * 256 + dd
+    packed = vol * shift + dd
     local = jnp.min(packed, axis=-1)
     best = lax.pmin(local, AXIS)
-    d_int = best & 255
+    d_int = best & (shift - 1)
     return d_int.astype(jnp.float32)
 
 

@@ -41,6 +41,22 @@ _BIG = 1 << 24  # plain int: module import must not initialise the backend
 AXIS = "strip"
 
 
+def _effective_halo(cfg: Config, strip_rows: int, ry: int) -> int:
+    """Halo rows actually exchanged: at least the census margin, at most the
+    strip height (one-hop ppermute reaches only the adjacent strip). Warns
+    when the requested halo is silently shrunk — at high strip counts the
+    halo approximation degrades with no other signal (use fewer strips or
+    exact_tiling=True)."""
+    h = min(max(cfg.halo, ry), strip_rows)
+    if h < cfg.halo:
+        import warnings
+        warnings.warn(
+            f"halo {cfg.halo} clamped to strip height {strip_rows}: the "
+            "halo approximation loses accuracy; use fewer strips or "
+            "exact_tiling=True", stacklevel=3)
+    return h
+
+
 # ---------------------------------------------------------------------------
 # halo exchange
 # ---------------------------------------------------------------------------
@@ -150,9 +166,8 @@ def _volume_local(left_loc, right_loc, cfg: Config):
         if cfg.mode == "census_wta":
             return C_loc.astype(jnp.int16)
         return _aggregate_tiled_exact(C_loc, ext_l, ry, cfg)
-    # halo-approximate SGM (halo cannot exceed the strip height: one-hop
-    # ppermute reaches only the adjacent strip)
-    h = min(max(cfg.halo, ry), left_loc.shape[0])
+    # halo-approximate SGM
+    h = _effective_halo(cfg, left_loc.shape[0], ry)
     ext_l = halo_exchange(left_loc, h)
     ext_r = halo_exchange(right_loc, h)
     C = cost_volume(census(ext_l, cfg.census_window),
@@ -189,7 +204,7 @@ def _sgbm_strip_fused(left_loc, right_loc, cfg: Config, interp: bool):
     from tpustereo.kernels import census_cost_volume_pallas, sgm_select_pallas
     from tpustereo.ops.postproc import dr_consistency
     ry = cfg.census_window[0] // 2
-    h = min(max(cfg.halo, ry), left_loc.shape[0])
+    h = _effective_halo(cfg, left_loc.shape[0], ry)
     ext_l = halo_exchange(left_loc, h)
     ext_r = halo_exchange(right_loc, h)
     C = census_cost_volume_pallas(ext_l, ext_r, cfg.num_disparities,

@@ -68,7 +68,9 @@ def stage_times(left, right, cfg: Config, iters: int = 5) -> Dict[str, float]:
     n = iters
 
     mode = _pallas_mode(cfg)
-    if mode != "off" and cfg.census_bits <= 32:
+    # same census gate as pipeline/sgbm.py so the profile measures the path
+    # the production pipeline actually runs (<= 64 bits, two uint32 planes)
+    if mode != "off" and cfg.census_bits <= 64:
         from tpustereo.kernels import census_cost_volume_pallas
         fused_cost = partial(census_cost_volume_pallas,
                              num_disp=cfg.num_disparities,

@@ -102,8 +102,10 @@ def connected_component_labels_pallas(conn_h: jnp.ndarray,
     cv = jnp.zeros((Hp, Wq), jnp.int32).at[:H - 1, :W].set(
         conn_v.astype(jnp.int32))
 
+    # Hp*Wq is the provably safe iteration bound (see the jnp fallback);
+    # the in-kernel convergence check exits typical images in <10 rounds.
     kernel = functools.partial(_cc_kernel, H=Hp, W=Wq,
-                               max_iters=Hp + Wq)
+                               max_iters=Hp * Wq)
     lab = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -189,7 +189,6 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, n_real, d_real,
     N, D = carry_ref.shape
     x = T - 1 - t
     lane = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
 
     @pl.when(t == 0)
     def _():
@@ -224,7 +223,7 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, n_real, d_real,
     best = m >> 8
     d_int = m & 255
 
-    valid = row >= 0
+    valid = jnp.full((N, 1), True)  # padded sublane rows are sliced off
     if cfg.uniqueness_ratio > 0:
         masked = jnp.where(jnp.abs(lane - d_int) <= 1, _BIGPACK * 256, S)
         second = _min_lanes_full(masked)[:, :1]
@@ -342,7 +341,6 @@ def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     H, W, D = C.shape
     Dp = _round_up(D, 128)
     Wp = _round_up(W, 32)
-    Hp = _round_up(H, 32)
     down = [(1, 0), (1, 1), (1, -1)] if cfg.paths == 8 else [(1, 0)]
     up = [(-1, 0), (-1, 1), (-1, -1)] if cfg.paths == 8 else [(-1, 0)]
     dxs_v = tuple(dx for _, dx in down)
@@ -402,7 +400,6 @@ def aggregate_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     H, W, D = C.shape
     Dp = _round_up(D, 128)
     Wp = _round_up(W, 32)   # uint8 sublane tile
-    Hp = _round_up(H, 32)
     p1, p2 = cfg.p1, cfg.p2
 
     down = [(1, 0), (1, 1), (1, -1)] if cfg.paths == 8 else [(1, 0)]

@@ -42,30 +42,36 @@ def _right_disparity(S: jnp.ndarray) -> jnp.ndarray:
     smallest d exactly like argmin. XLA fuses the D slices into one pass
     over the volume.
     """
+    from tpustereo.ops.wta import next_pow2
     H, W, D = S.shape
     big = jnp.int32(1 << 20)
-    packed_best = jnp.full((H, W), big * 256, jnp.int32)
+    # packing factor scales with D (a fixed 256 silently corrupted D > 256)
+    shift = next_pow2(max(D, 2))
+    packed_best = jnp.full((H, W), big * shift, jnp.int32)
     for d in range(min(D, W)):
         plane = S[:, :, d].astype(jnp.int32)            # (H, W) static slice
         v = jnp.concatenate(
             [plane[:, d:], jnp.full((H, d), big, jnp.int32)], axis=1)
-        packed_best = jnp.minimum(packed_best, v * 256 + d)
-    return packed_best & 255
+        packed_best = jnp.minimum(packed_best, v * shift + d)
+    return packed_best & (shift - 1)
 
 
 def dr_consistency(d_r: jnp.ndarray, disp: jnp.ndarray, num_disp: int,
                    max_diff: int) -> jnp.ndarray:
     """|d_L(x) - d_R(x - round(d_L(x)))| <= max_diff given a precomputed
     right-disparity map. Gather-free: for each integer d, shift d_R right
-    by d (static) and select where round(d_L) == d; the 255 fill makes
+    by d (static) and select where round(d_L) == d; the _BIG fill makes
     out-of-image lookups (x < d_L) fail the check, which doubles as the
-    in-image condition."""
+    in-image condition. (_BIG, not a small in-range sentinel: a 255 fill
+    collided with the legitimate d_r == 255 at num_disp == 256 and let
+    |d - 255| pass the check near d = 255 for larger D.)"""
     H, W = d_r.shape
     dl = jnp.round(disp).astype(jnp.int32)
-    diff = jnp.full((H, W), jnp.int32(255))
-    for d in range(num_disp):
+    diff = jnp.full((H, W), jnp.int32(_BIG))
+    # d >= W cannot pass (x - d < 0 everywhere); the BIG init covers it
+    for d in range(min(num_disp, W)):
         shifted = jnp.concatenate(
-            [jnp.full((H, d), jnp.int32(255)), d_r[:, : W - d]], axis=1)
+            [jnp.full((H, d), jnp.int32(_BIG)), d_r[:, : W - d]], axis=1)
         diff = jnp.where(dl == d, jnp.abs(d - shifted), diff)
     return diff <= max_diff
 
@@ -122,7 +128,13 @@ def connected_component_labels(conn_h: jnp.ndarray, conn_v: jnp.ndarray,
     anchor = conn_h.astype(jnp.int32).max() * 0
     init = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W) + anchor
     if max_iters is None:
-        max_iters = H + W  # a row+col sweep pair shortens any component path
+        # provably safe bound: min-label propagation strictly decreases the
+        # label sum on any change, so it converges within H*W rounds; the
+        # `changed` early-exit keeps typical images at <10 iterations.
+        # (The previous H+W bound silently failed to converge on high-bend
+        # components — each row+col sweep pair only crosses ~2 bends, and a
+        # Hilbert-curve-shaped component has O(H*W) bends.)
+        max_iters = H * W
 
     def cond(state):
         lab, changed, i = state

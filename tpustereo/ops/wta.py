@@ -24,15 +24,23 @@ from tpustereo.config import Config
 _BIG = 1 << 24  # plain int: module import must not initialise the backend
 
 
+def next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
 def wta(S: jnp.ndarray, cfg: Config):
     """S: (H, W, D) int -> (disp float32, d_int int32, valid bool)."""
     H, W, D = S.shape
     Si = S.astype(jnp.int32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (H, W, D), 2)
-    # packed min: value in the high bits, d in the low 8 (first-min ties)
-    m = jnp.min(Si * 256 + iota, axis=-1)
-    best = m >> 8
-    d_int = m & 255
+    # packed min: value in the high bits, d in the low bits (first-min
+    # ties). The packing factor scales with D so any num_disparities up to
+    # the Config cap is exact (a fixed 256 silently corrupted D > 256).
+    shift = next_pow2(max(D, 2))
+    bits = shift.bit_length() - 1
+    m = jnp.min(Si * shift + iota, axis=-1)
+    best = m >> bits
+    d_int = m & (shift - 1)
     valid = jnp.ones((H, W), bool)
 
     if cfg.uniqueness_ratio > 0:
@@ -42,13 +50,14 @@ def wta(S: jnp.ndarray, cfg: Config):
 
     disp = d_int.astype(jnp.float32)
     if cfg.subpixel:
-        # S at d*-1 / d*+1 (clamped) via fused per-plane selects
-        sm = jnp.zeros((H, W), jnp.int32)
-        sp = jnp.zeros((H, W), jnp.int32)
-        for d in range(D):
-            plane = Si[:, :, d]
-            sm = jnp.where(jnp.maximum(d_int - 1, 0) == d, plane, sm)
-            sp = jnp.where(jnp.minimum(d_int + 1, D - 1) == d, plane, sp)
+        # S at d*-1 / d*+1 (clamped) via exact one-hot sums: a single fused
+        # pass over the volume, O(1) ops to trace (the per-plane select loop
+        # this replaces emitted 2·D ops — a compile-time bomb at D=128 on
+        # the 5-30-min remote-compile box)
+        dm = jnp.maximum(d_int - 1, 0)[..., None]
+        dp = jnp.minimum(d_int + 1, D - 1)[..., None]
+        sm = jnp.sum(jnp.where(iota == dm, Si, 0), axis=-1)
+        sp = jnp.sum(jnp.where(iota == dp, Si, 0), axis=-1)
         smf = sm.astype(jnp.float32)
         spf = sp.astype(jnp.float32)
         s0 = best.astype(jnp.float32)
