@@ -117,6 +117,39 @@ def test_tiled_batched(pair):
     assert np.abs(ref0 - out[0])[sel].max() < 1e-5
 
 
+def test_tiled_nondivisible_rows_bitexact():
+    """H not divisible by the strip count: bottom rows are padded with
+    exact zero-cost rows (fresh path starts), so exact-ring mode stays
+    bit-identical to untiled — the KITTI-375-rows-over-2-strips case."""
+    Ho = 45  # not divisible by 2 or 4
+    L, R, _, _ = synthetic_pair((Ho, W), disparity=6.0, slope=0.05, seed=3)
+    cfg = _cfg(exact_tiling=True, paths=8)
+    ref = np.asarray(sgbm(jnp.asarray(L), jnp.asarray(R), cfg))
+    for strips in (2, 4):
+        mesh = make_mesh(data=1, strip=strips)
+        out = np.asarray(sgbm_tiled(jnp.asarray(L), jnp.asarray(R), cfg, mesh))
+        assert out.shape == (Ho, W)
+        assert ((ref >= 0) == (out >= 0)).all(), f"S={strips}"
+        sel = ref >= 0
+        assert np.abs(ref - out)[sel].max() < 1e-5, f"S={strips}"
+
+
+def test_tiled_nondivisible_rows_halo_pallas():
+    """Non-divisible H on the halo + fused-kernel (interpret) path: runs,
+    right shape, and close to untiled away from strip boundaries."""
+    Ho = 45
+    L, R, _, _ = synthetic_pair((Ho, W), disparity=6.0, slope=0.05, seed=3)
+    cfg = _cfg(paths=8, halo=12, backend="pallas")
+    mesh = make_mesh(data=1, strip=2)
+    ref = np.asarray(sgbm(jnp.asarray(L), jnp.asarray(R), cfg))
+    out = np.asarray(sgbm_tiled(jnp.asarray(L), jnp.asarray(R), cfg, mesh))
+    assert out.shape == (Ho, W)
+    both = (ref >= 0) & (out >= 0)
+    mm = float((np.abs(ref - out)[both] > 0.5).mean()
+               + ((ref >= 0) != (out >= 0)).mean())
+    assert mm < 0.05, mm
+
+
 def test_disp_axis_sharding_matches_single(pair):
     """SURVEY.md #17: D axis sharded over chips, pmin-resolved WTA equals
     the single-device integer WTA (census_wta mode)."""

@@ -45,13 +45,26 @@ def match_batch(lefts: np.ndarray, rights: np.ndarray,
     return np.asarray(sgbm_batched(l, r, cfg))
 
 
+def match_pair_tiled(left: np.ndarray, right: np.ndarray, cfg: Config,
+                     mesh=None) -> np.ndarray:
+    """Strip-tiled match_pair: rows sharded over the mesh 'strip' axis
+    (SURVEY.md §4.3). mesh defaults to a 1×strips ('data','strip') mesh
+    over the available devices."""
+    from tpustereo.dist import make_mesh, sgbm_tiled
+    if mesh is None:
+        mesh = make_mesh(data=1, strip=cfg.strips)
+    return np.asarray(sgbm_tiled(_as_u8(left), _as_u8(right), cfg, mesh))
+
+
 def run_sequence(pairs: Iterable, calib, cfg: Optional[Config] = None,
-                 odometry_cfg=None):
+                 odometry_cfg=None, mesh=None):
     """Stereo odometry over an iterable of (left, right) frames
-    (SURVEY.md §4.4). Returns the trajectory as (N, 4, 4) poses."""
+    (SURVEY.md §4.4). With cfg.strips > 1 each frame's disparity comes from
+    the strip-tiled distributed pipeline (BASELINE config 5). Returns the
+    trajectory as (N, 4, 4) poses."""
     from tpustereo.odometry import StereoOdometry  # lazy: optional subsystem
     cfg = cfg or Config()
-    odo = StereoOdometry(calib, cfg, odometry_cfg)
+    odo = StereoOdometry(calib, cfg, odometry_cfg, mesh=mesh)
     for left, right in pairs:
         odo.step(np.asarray(left), np.asarray(right))
     return odo.trajectory()

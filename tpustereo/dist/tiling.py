@@ -81,6 +81,24 @@ def halo_exchange(x: jnp.ndarray, halo: int, axis_name: str = AXIS) -> jnp.ndarr
     return jnp.concatenate([from_above, x, from_below], axis=0)
 
 
+def _zero_oob_rows(C: jnp.ndarray, halo: int, strip_rows: int, n_real: int,
+                   axis_name: str = AXIS) -> jnp.ndarray:
+    """Zero cost rows whose global image row falls outside [0, n_real).
+
+    Covers both boundary-chip halo rows and bottom padding rows (H not
+    divisible by the strip count pads the image; see sgbm_tiled). A
+    uniform-zero cost row is an *exact* fresh path start for the y-scanning
+    SGM directions: with a lane-uniform carry, cand = min(q, q±1+P1, P2) is
+    uniform, so L = 0 + cand renormalises to q = 0 — the state an untiled
+    sweep has at the true image edge. (Edge-replicated *image* rows would
+    instead accumulate rows of path bias.)
+    """
+    i = lax.axis_index(axis_name)
+    g = i * strip_rows - halo + jnp.arange(C.shape[0])[:, None, None]
+    oob = (g < 0) | (g >= n_real)
+    return jnp.where(oob, jnp.zeros((), C.dtype), C)
+
+
 # ---------------------------------------------------------------------------
 # exact ring carry hand-off
 # ---------------------------------------------------------------------------
@@ -145,10 +163,12 @@ def _aggregate_tiled_exact(C_loc, img_ext, ry: int, cfg: Config):
 # tiled pipeline
 # ---------------------------------------------------------------------------
 
-def _volume_local(left_loc, right_loc, cfg: Config):
-    """Aggregated volume S for the local strip (halo or exact mode)."""
+def _volume_local(left_loc, right_loc, cfg: Config, n_real: int):
+    """Aggregated volume S for the local strip (halo or exact mode).
+    n_real: true image height — rows at or past it are bottom padding."""
     ch = cfg.census_window[0]
     ry = ch // 2
+    Hs = left_loc.shape[0]
     if cfg.mode == "sad":
         r = cfg.sad_block // 2
         ext_l = halo_exchange(left_loc, r)
@@ -162,26 +182,19 @@ def _volume_local(left_loc, right_loc, cfg: Config):
         C = cost_volume(census(ext_l, cfg.census_window),
                         census(ext_r, cfg.census_window),
                         cfg.num_disparities, cfg.max_census_cost)
-        C_loc = C[ry:C.shape[0] - ry]
+        C_loc = _zero_oob_rows(C[ry:C.shape[0] - ry], 0, Hs, n_real)
         if cfg.mode == "census_wta":
             return C_loc.astype(jnp.int16)
         return _aggregate_tiled_exact(C_loc, ext_l, ry, cfg)
-    # halo-approximate SGM
-    h = _effective_halo(cfg, left_loc.shape[0], ry)
+    # halo-approximate SGM; out-of-image rows (boundary halos + bottom
+    # padding) get exact fresh-start zero cost — see _zero_oob_rows
+    h = _effective_halo(cfg, Hs, ry)
     ext_l = halo_exchange(left_loc, h)
     ext_r = halo_exchange(right_loc, h)
     C = cost_volume(census(ext_l, cfg.census_window),
                     census(ext_r, cfg.census_window),
                     cfg.num_disparities, cfg.max_census_cost)
-    # Out-of-image halo rows (boundary chips) get zero cost: with an
-    # all-equal carry the SGM renormalisation collapses to L = C, so paths
-    # enter the first real row exactly as at an untiled path start — the
-    # edge-replicated image rows would instead accumulate h rows of bias.
-    n = lax.axis_size(AXIS)
-    i = lax.axis_index(AXIS)
-    rows = jnp.arange(C.shape[0])[:, None, None]
-    out_of_image = ((i == 0) & (rows < h)) | ((i == n - 1) & (rows >= C.shape[0] - h))
-    C = jnp.where(out_of_image, jnp.uint8(0), C)
+    C = _zero_oob_rows(C, h, Hs, n_real)
     from tpustereo.pipeline.sgbm import _pallas_mode
     mode = _pallas_mode(cfg)
     if mode != "off":
@@ -195,7 +208,8 @@ def _volume_local(left_loc, right_loc, cfg: Config):
     return S[h:S.shape[0] - h]
 
 
-def _sgbm_strip_fused(left_loc, right_loc, cfg: Config, interp: bool):
+def _sgbm_strip_fused(left_loc, right_loc, cfg: Config, n_real: int,
+                      interp: bool):
     """Halo-mode strip body on the fused kernel path: extended-strip cost
     kernel -> sgm_select (sweeps + WTA + d_R in one pass) -> discard halo
     rows -> strip-local d_L/d_R consistency. Identical math to the jnp
@@ -210,13 +224,9 @@ def _sgbm_strip_fused(left_loc, right_loc, cfg: Config, interp: bool):
     C = census_cost_volume_pallas(ext_l, ext_r, cfg.num_disparities,
                                   cfg.max_census_cost, cfg.census_window,
                                   interpret=interp)
-    # out-of-image halo rows get uniform zero cost (fresh path start), as
-    # in the jnp halo branch
-    n = lax.axis_size(AXIS)
-    i = lax.axis_index(AXIS)
-    rows = jnp.arange(C.shape[0])[:, None, None]
-    oob = ((i == 0) & (rows < h)) | ((i == n - 1) & (rows >= C.shape[0] - h))
-    C = jnp.where(oob, jnp.uint8(0), C)
+    # out-of-image rows get uniform zero cost (exact fresh path start), as
+    # in the jnp halo branch — see _zero_oob_rows
+    C = _zero_oob_rows(C, h, left_loc.shape[0], n_real)
     disp_e, valid_e, dr_e = sgm_select_pallas(C, cfg, ext_l, interpret=interp)
     sl = slice(h, disp_e.shape[0] - h)
     disp, valid, d_r = disp_e[sl], valid_e[sl], dr_e[sl]
@@ -226,51 +236,80 @@ def _sgbm_strip_fused(left_loc, right_loc, cfg: Config, interp: bool):
     return disp, valid
 
 
-def _sgbm_strip(left_loc, right_loc, cfg: Config):
+def _sgbm_strip(left_loc, right_loc, cfg: Config, n_real: int):
     """Full pipeline body inside shard_map: local volume + WTA/LR, then
     global (all_gathered) speckle + median — postproc is bit-exact with
-    the untiled pipeline."""
+    the untiled pipeline. Bottom padding rows (global row >= n_real) are
+    excluded from postproc and emitted as INVALID."""
     from tpustereo.utils.backend import pallas_mode
     mode = pallas_mode(cfg)
     fused_ok = (cfg.mode == "sgm" and not cfg.exact_tiling and mode != "off"
                 and cfg.census_bits <= 64 and cfg.num_disparities <= 128
                 and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096)
     if fused_ok:
-        disp, valid = _sgbm_strip_fused(left_loc, right_loc, cfg,
+        disp, valid = _sgbm_strip_fused(left_loc, right_loc, cfg, n_real,
                                         interp=(mode == "interpret"))
     else:
-        S = _volume_local(left_loc, right_loc, cfg)
+        S = _volume_local(left_loc, right_loc, cfg, n_real)
         disp, d_int, valid = wta(S, cfg)
         valid &= lr_check(S, disp, cfg)
 
     full_disp = lax.all_gather(disp, AXIS, tiled=True)
     full_valid = lax.all_gather(valid, AXIS, tiled=True)
     from tpustereo.pipeline.sgbm import _postproc
-    out = _postproc(full_disp, full_valid, cfg)
+    H_pad = full_disp.shape[0]
+    if n_real < H_pad:
+        # speckle/median must see exactly the real image (a padded row would
+        # shift median's edge replication and could touch component sizes)
+        out = _postproc(full_disp[:n_real], full_valid[:n_real], cfg)
+        out = jnp.concatenate(
+            [out, jnp.full((H_pad - n_real, out.shape[1]), INVALID,
+                           out.dtype)], axis=0)
+    else:
+        out = _postproc(full_disp, full_valid, cfg)
     i = lax.axis_index(AXIS)
     Hs = disp.shape[0]
     return lax.dynamic_slice_in_dim(out, i * Hs, Hs, axis=0)
+
+
+def _pad_rows(x: jnp.ndarray, strips: int) -> jnp.ndarray:
+    """Pad the row axis (last-but-one) to a multiple of the strip count with
+    edge replication, so real rows near the bottom see exactly the untiled
+    census border convention; the padded rows' costs are zeroed in-strip."""
+    H = x.shape[-2]
+    Hp = -(-H // strips) * strips
+    if Hp == H:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[-2] = (0, Hp - H)
+    return jnp.pad(x, pad, mode="edge")
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh"))
 def sgbm_tiled(left, right, cfg: Config, mesh: Mesh):
     """Strip-tiled single-pair pipeline: rows sharded over 'strip'.
 
-    H must be divisible by the strip-axis size. Returns (H, W) float32 with
-    the same sharding as the inputs.
+    Any H: rows are padded to a multiple of the strip count (the padding is
+    exact — zero-cost rows are fresh path starts, and postproc runs on the
+    real rows only). Returns (H, W) float32.
     """
-    fn = shard_map(partial(_sgbm_strip, cfg=cfg), mesh=mesh,
+    H = left.shape[0]
+    strips = mesh.shape[AXIS]
+    fn = shard_map(partial(_sgbm_strip, cfg=cfg, n_real=H), mesh=mesh,
                    in_specs=(P(AXIS, None), P(AXIS, None)),
                    out_specs=P(AXIS, None), check_vma=False)
-    return fn(left, right)
+    return fn(_pad_rows(left, strips), _pad_rows(right, strips))[:H]
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh"))
 def sgbm_tiled_batched(left, right, cfg: Config, mesh: Mesh):
     """Batched + tiled: (B, H, W) sharded P('data', 'strip', None) —
-    the config-4/5 production layout (SURVEY.md §4.2/§4.3)."""
-    body = jax.vmap(partial(_sgbm_strip, cfg=cfg))
+    the config-4/5 production layout (SURVEY.md §4.2/§4.3). Any H (see
+    sgbm_tiled)."""
+    H = left.shape[1]
+    strips = mesh.shape[AXIS]
+    body = jax.vmap(partial(_sgbm_strip, cfg=cfg, n_real=H))
     fn = shard_map(body, mesh=mesh,
                    in_specs=(P("data", AXIS, None), P("data", AXIS, None)),
                    out_specs=P("data", AXIS, None), check_vma=False)
-    return fn(left, right)
+    return fn(_pad_rows(left, strips), _pad_rows(right, strips))[:, :H]

@@ -59,26 +59,37 @@ def _min_lanes_full(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real,
-                  has_s_in, has_p2m):
-    """One grid step = one scanline. rest = ([s_ref], [p2_ref], out_ref,
-    carry_ref) depending on flags."""
+                  has_s_in, has_p2m, has_init, has_fin):
+    """One grid step = one scanline. rest = ([s_ref], [p2_ref], [init_ref],
+    out_ref, [fin_ref], carry_ref) depending on flags."""
     idx = 0
     s_ref = rest[idx] if has_s_in else None
     idx += 1 if has_s_in else 0
     p2_ref = rest[idx] if has_p2m else None
     idx += 1 if has_p2m else 0
+    init_ref = rest[idx] if has_init else None
+    idx += 1 if has_init else 0
     out_ref = rest[idx]
-    carry_ref = rest[idx + 1]
+    idx += 1
+    fin_ref = rest[idx] if has_fin else None
+    idx += 1 if has_fin else 0
+    carry_ref = rest[idx]
 
     t = pl.program_id(0)
     N, D = carry_ref.shape[1], carry_ref.shape[2]
 
     # carries hold the renormalised q = L - min_d L (the bracket of the
     # recurrence becomes min(q, q±1+P1, P2), so the P2 clip is a scalar and
-    # a fresh path start is a uniform-ZERO carry -> L = C)
+    # a fresh path start is a uniform-ZERO carry -> L = C). The recurrence
+    # depends on the predecessor row ONLY through q, so q is also the exact
+    # state to hand off between strip chips in ring-tiled mode (init_ref /
+    # fin_ref; dist/tiling._ring_sweep_pallas).
     @pl.when(t == 0)
     def _():
-        carry_ref[...] = jnp.zeros(carry_ref.shape, jnp.int32)
+        if init_ref is not None:
+            carry_ref[...] = init_ref[...]
+        else:
+            carry_ref[...] = jnp.zeros(carry_ref.shape, jnp.int32)
 
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 0)
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)

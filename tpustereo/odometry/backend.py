@@ -47,10 +47,14 @@ class _Keyframe:
 
 class StereoOdometry:
     def __init__(self, calib: KittiCalib, cfg: Optional[Config] = None,
-                 ocfg: Optional[OdometryConfig] = None):
+                 ocfg: Optional[OdometryConfig] = None, mesh=None):
         self.calib = calib
         self.cfg = cfg or Config()
         self.ocfg = ocfg or OdometryConfig()
+        # config 5 (SURVEY.md §4.4): with cfg.strips > 1 the matcher runs
+        # strip-tiled over the mesh; built lazily so host-only uses never
+        # touch devices
+        self._mesh = mesh
         self.graph = PoseGraph()
         self.kf: Optional[_Keyframe] = None
         self.pose = np.eye(4, dtype=np.float32)      # world <- current cam
@@ -86,11 +90,21 @@ class StereoOdometry:
         node = self.graph.add_keyframe(self.pose)
         return _Keyframe(node, pts, desc, X, valid & ok)
 
+    def _match(self, left: np.ndarray, right: np.ndarray) -> np.ndarray:
+        """Disparity for one pair: the strip-tiled distributed pipeline when
+        cfg.strips > 1 (BASELINE config 5), single-device otherwise."""
+        from tpustereo.api import match_pair, match_pair_tiled  # avoid cycle
+        if self.cfg.strips > 1:
+            if self._mesh is None:
+                from tpustereo.dist import make_mesh
+                self._mesh = make_mesh(data=1, strip=self.cfg.strips)
+            return match_pair_tiled(left, right, self.cfg, self._mesh)
+        return match_pair(left, right, self.cfg)
+
     # ------------------------------------------------------------------
     def step(self, left: np.ndarray, right: np.ndarray) -> np.ndarray:
         """Process one rectified pair; returns the current world pose."""
-        from tpustereo.api import match_pair  # local import to avoid cycle
-        disp = match_pair(left, right, self.cfg)
+        disp = self._match(left, right)
         pts, desc, valid = self._features(left)
         self._frames += 1
 
