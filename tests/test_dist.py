@@ -47,10 +47,12 @@ def test_data_parallel_matches_single(pair):
     assert np.allclose(out[0], ref)
 
 
-def test_tiled_exact_ring_bitexact(pair):
-    """Exact ring mode == untiled, bit for bit, at 2 and 4 strips."""
+@pytest.mark.parametrize("backend", ["jnp", "pallas"])
+def test_tiled_exact_ring_bitexact(pair, backend):
+    """Exact ring mode == untiled, bit for bit, at 2 and 4 strips — on both
+    the jnp ring and the Pallas q-carry ring (interpret mode on CPU)."""
     L, R, _, _ = pair
-    cfg = _cfg(exact_tiling=True, paths=8)
+    cfg = _cfg(exact_tiling=True, paths=8, backend=backend)
     ref = np.asarray(sgbm(jnp.asarray(L), jnp.asarray(R), cfg))
     for strips in (2, 4):
         mesh = make_mesh(data=1, strip=strips)
@@ -58,6 +60,19 @@ def test_tiled_exact_ring_bitexact(pair):
         assert ((ref >= 0) == (out >= 0)).all(), f"validity differs at S={strips}"
         sel = ref >= 0
         assert np.abs(ref - out)[sel].max() < 1e-5, f"S={strips}"
+
+
+def test_tiled_exact_ring_pallas_nondivisible(pair):
+    """Pallas q-carry ring + zero-cost bottom padding: still bit-exact."""
+    Ho = 45
+    L, R, _, _ = synthetic_pair((Ho, W), disparity=6.0, slope=0.05, seed=3)
+    cfg = _cfg(exact_tiling=True, paths=8, backend="pallas")
+    ref = np.asarray(sgbm(jnp.asarray(L), jnp.asarray(R), cfg))
+    mesh = make_mesh(data=1, strip=4)
+    out = np.asarray(sgbm_tiled(jnp.asarray(L), jnp.asarray(R), cfg, mesh))
+    assert ((ref >= 0) == (out >= 0)).all()
+    sel = ref >= 0
+    assert np.abs(ref - out)[sel].max() < 1e-5
 
 
 def test_tiled_exact_ring_adaptive_p2(pair):

@@ -130,6 +130,17 @@ def cmd_bench(args) -> int:
     from tpustereo.eval.bench import run_benchmark
     cfg = config_from_args(args) if (args.preset or args.config or args.set) \
         else PRESETS["kitti_sgm8"]
+    if args.multihost:
+        from tpustereo.eval.multihost import run_multihost_bench
+        record = run_multihost_bench(
+            num_processes=args.multihost, cfg=cfg,
+            shape=tuple(int(v) for v in args.shape.split("x")),
+            batch=args.batch, iters=args.iters)
+        print(json.dumps(record, indent=2))
+        if args.record:
+            with open(args.record, "a") as f:
+                f.write(json.dumps(record) + "\n")
+        return 0
     record = run_benchmark(cfg, shape=tuple(int(v) for v in args.shape.split("x")),
                            batch=args.batch, iters=args.iters,
                            stages=args.stages, tiled=args.tiled,
@@ -226,6 +237,9 @@ def main(argv=None) -> int:
     b.add_argument("--stages", action="store_true", help="per-stage time table")
     b.add_argument("--tiled", action="store_true",
                    help="bench the strip-tiled multi-device pipeline")
+    b.add_argument("--multihost", type=int, metavar="N",
+                   help="spawn an N-process jax.distributed cluster and "
+                        "report scaling efficiency (SURVEY.md §5.0)")
     b.add_argument("--record", help="append the JSON record to this file")
     b.add_argument("--profile", metavar="DIR",
                    help="write a jax.profiler trace of the timed loop")

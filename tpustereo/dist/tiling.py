@@ -236,6 +236,110 @@ def _sgbm_strip_fused(left_loc, right_loc, cfg: Config, n_real: int,
     return disp, valid
 
 
+def _ring_sweep_pallas(Cv, dxs, reverse: bool, cfg: Config, w_real: int,
+                       d_real: int, p2m, interp: bool,
+                       axis_name: str = AXIS):
+    """Exact ring hand-off riding the Pallas sweep kernels.
+
+    Same SPMD ring as `_ring_path`, but one kernel launch sweeps all the
+    fused same-sign directions and the hand-off slab is the (K, N, D)
+    q-form carry (the recurrence depends on the predecessor row only
+    through q = L - min_d L, so the renormalised slab is the exact state —
+    see kernels.sgm_pallas._sweep_kernel). Bit-exact with the untiled
+    kernels at any strip count; the y-scans serialise across strips."""
+    from tpustereo.kernels import sgm_sweep
+    n = lax.axis_size(axis_name)
+    i = lax.axis_index(axis_name)
+    T, N, D = Cv.shape
+    K = len(dxs)
+    down = not reverse
+    perm = ([(k, k + 1) for k in range(n - 1)] if down
+            else [(k + 1, k) for k in range(n - 1)])
+
+    def body(s, state):
+        carry, out = state
+        res, fin = sgm_sweep(Cv, None, dxs, reverse, p1=cfg.p1, p2=cfg.p2,
+                             n_real=w_real, d_real=d_real, p2_maps=p2m,
+                             init_carry=carry, return_final_carry=True,
+                             interpret=interp)
+        turn = s if down else n - 1 - s
+        mine = i == turn
+        out = jnp.where(mine, res, out)
+        carry = lax.ppermute(jnp.where(mine, fin, 0), axis_name, perm)
+        return carry, out
+
+    # zero q-form init == fresh path start; derive from Cv so the loop
+    # carry is 'varying' under shard_map (see _ring_path)
+    anchor = Cv[0, 0, 0].astype(jnp.int32) * 0
+    init = (jnp.zeros((K, N, D), jnp.int32) + anchor,
+            jnp.zeros((T, N, D), jnp.int16) + anchor.astype(jnp.int16))
+    _, out = lax.fori_loop(0, n, body, init)
+    return out
+
+
+def _sgbm_strip_exact_fused(left_loc, right_loc, cfg: Config, n_real: int,
+                            interp: bool):
+    """Exact-ring strip body on the fused kernel path: cost kernel on a
+    census-margin extended strip -> ring-tiled vertical sweeps -> strip-
+    local transposed fwd sweep -> fused bwd sweep + WTA + d_R. Identical
+    math to `_aggregate_tiled_exact` + `wta`/`lr_check` (integer stages
+    bit-exact; float subpixel to fp tolerance)."""
+    from tpustereo.kernels import census_cost_volume_pallas
+    from tpustereo.kernels.sgm_pallas import (_p2_stack, _round_up,
+                                              sgm_sweep, sweep_bwd_wta)
+    from tpustereo.kernels.transpose_pallas import transpose_hw_pallas
+    from tpustereo.ops.postproc import dr_consistency
+    from tpustereo.ops.sgm import p2_map
+
+    ry = cfg.census_window[0] // 2
+    Hs = left_loc.shape[0]
+    ext_l = halo_exchange(left_loc, ry)
+    ext_r = halo_exchange(right_loc, ry)
+    C = census_cost_volume_pallas(ext_l, ext_r, cfg.num_disparities,
+                                  cfg.max_census_cost, cfg.census_window,
+                                  interpret=interp)
+    C_loc = _zero_oob_rows(C[ry:C.shape[0] - ry], 0, Hs, n_real)
+    _, W, D = C_loc.shape
+    Dp = _round_up(D, 128)
+    Wp = _round_up(W, 32)
+    Cv = jnp.pad(C_loc, ((0, 0), (0, Wp - W), (0, Dp - D)))
+
+    down = [(1, 0), (1, 1), (1, -1)] if cfg.paths == 8 else [(1, 0)]
+    up = [(-1, 0), (-1, 1), (-1, -1)] if cfg.paths == 8 else [(-1, 0)]
+    dxs_v = tuple(dx for _, dx in down)
+
+    def p2_ext(dirs):
+        # adaptive-P2 maps from the census-extended image so boundary rows
+        # see the true neighbour gradient (as _aggregate_tiled_exact)
+        if not cfg.adaptive_p2:
+            return None
+        maps = [p2_map(ext_l, dy, dx, cfg)[ry:ry + Hs] for dy, dx in dirs]
+        st = jnp.stack(maps, axis=-1).astype(jnp.int32)
+        return jnp.pad(st, ((0, 0), (0, Wp - W), (0, 0)))
+
+    S = _ring_sweep_pallas(Cv, dxs_v, False, cfg, W, D, p2_ext(down), interp)
+    S = S + _ring_sweep_pallas(Cv, dxs_v, True, cfg, W, D, p2_ext(up), interp)
+
+    # horizontal paths are strip-local: transposed fwd sweep, then the
+    # fused bwd sweep + WTA (as sgm_select_pallas)
+    Ct = transpose_hw_pallas(Cv, interpret=interp, trim=False)
+    St = transpose_hw_pallas(S, interpret=interp, trim=False)
+    Tt, H8 = Ct.shape[0], Ct.shape[1]
+    St = sgm_sweep(Ct, St, (0,), False, p1=cfg.p1, p2=cfg.p2, n_real=Hs,
+                   d_real=D, interpret=interp,
+                   p2_maps=_p2_stack(left_loc, [(0, 1)], cfg, True, Tt, H8))
+    p2b = _p2_stack(left_loc, [(0, -1)], cfg, True, Tt, H8)
+    disp, valid, d_r = sweep_bwd_wta(Ct, St, cfg, w_real=W, d_real=D,
+                                     p2_maps=p2b, interpret=interp)
+    disp = disp[:Hs, :W]
+    valid = valid[:Hs, :W].astype(bool)
+    d_r = d_r[:Hs, :W]
+    if cfg.disp12_max_diff >= 0:
+        valid &= dr_consistency(d_r, disp, cfg.num_disparities,
+                                cfg.disp12_max_diff)
+    return disp, valid
+
+
 def _sgbm_strip(left_loc, right_loc, cfg: Config, n_real: int):
     """Full pipeline body inside shard_map: local volume + WTA/LR, then
     global (all_gathered) speckle + median — postproc is bit-exact with
@@ -243,10 +347,14 @@ def _sgbm_strip(left_loc, right_loc, cfg: Config, n_real: int):
     excluded from postproc and emitted as INVALID."""
     from tpustereo.utils.backend import pallas_mode
     mode = pallas_mode(cfg)
-    fused_ok = (cfg.mode == "sgm" and not cfg.exact_tiling and mode != "off"
+    fused_ok = (cfg.mode == "sgm" and mode != "off"
                 and cfg.census_bits <= 64 and cfg.num_disparities <= 128
                 and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096)
-    if fused_ok:
+    if fused_ok and cfg.exact_tiling:
+        disp, valid = _sgbm_strip_exact_fused(left_loc, right_loc, cfg,
+                                              n_real,
+                                              interp=(mode == "interpret"))
+    elif fused_ok:
         disp, valid = _sgbm_strip_fused(left_loc, right_loc, cfg, n_real,
                                         interp=(mode == "interpret"))
     else:

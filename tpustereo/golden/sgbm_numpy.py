@@ -79,32 +79,35 @@ _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
 
 
 def cost_volume_numpy(cen_l: np.ndarray, cen_r: np.ndarray, num_disp: int,
-                      max_cost: int) -> np.ndarray:
-    """C[y, x, d] = popcount(cenL[y,x] ^ cenR[y,x-d]); x-d<0 -> max_cost."""
+                      max_cost: int, min_disp: int = 0) -> np.ndarray:
+    """C[y, x, j] = popcount(cenL[y,x] ^ cenR[y,x-d]), d = min_disp + j;
+    x-d<0 -> max_cost. Plane j searches disparity hypothesis min_disp+j."""
     H, W = cen_l.shape
     C = np.full((H, W, num_disp), max_cost, dtype=np.uint8)
-    for d in range(num_disp):
+    for j in range(num_disp):
+        d = min_disp + j
         if d >= W:
             break
-        C[:, d:, d] = _popcount64(cen_l[:, d:] ^ cen_r[:, : W - d])
+        C[:, d:, j] = _popcount64(cen_l[:, d:] ^ cen_r[:, : W - d])
     return C
 
 
 def sad_volume_numpy(left: np.ndarray, right: np.ndarray, num_disp: int,
-                     block: int) -> np.ndarray:
+                     block: int, min_disp: int = 0) -> np.ndarray:
     """Box-filtered SAD cost volume (SURVEY.md §1.1, config 1).
 
-    A[y,x,d] = |L(y,x) - R(y,x-d)| with x-d<0 -> 255; box-summed over a
-    block x block window with edge-replication padding of A.
+    A[y,x,j] = |L(y,x) - R(y,x-d)|, d = min_disp + j, with x-d<0 -> 255;
+    box-summed over a block x block window with edge-replication padding.
     """
     H, W = left.shape
     li = left.astype(np.int32)
     ri = right.astype(np.int32)
     A = np.full((H, W, num_disp), 255, dtype=np.int32)
-    for d in range(num_disp):
+    for j in range(num_disp):
+        d = min_disp + j
         if d >= W:
             break
-        A[:, d:, d] = np.abs(li[:, d:] - ri[:, : W - d])
+        A[:, d:, j] = np.abs(li[:, d:] - ri[:, : W - d])
     r = block // 2
     Ap = np.pad(A, ((r, r), (r, r), (0, 0)), mode="edge")
     # integral image box sum

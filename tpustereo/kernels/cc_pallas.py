@@ -87,6 +87,16 @@ def _cc_kernel(ch_ref, cv_ref, lab_ref, *, H: int, W: int, max_iters: int):
     lab_ref[...] = lab
 
 
+def cc_pallas_fits(H: int, W: int) -> bool:
+    """Whether the whole-image kernel fits scoped VMEM (~16 MB): it holds
+    ch, cv, lab and the label image as (Hp, Wq) int32 — ~4 live slabs. At
+    KITTI size that is ~6 MB; true Middlebury full-res (~1500x3000) does
+    not fit and must use the jnp fallback."""
+    Hp = _round_up(H, 8)
+    Wq = _round_up(W, 128)
+    return Hp * Wq * 4 * 4 <= 14 * 2 ** 20
+
+
 def connected_component_labels_pallas(conn_h: jnp.ndarray,
                                       conn_v: jnp.ndarray,
                                       interpret: bool = False) -> jnp.ndarray:

@@ -127,17 +127,29 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real,
         out = out + s_ref[0]
     out_ref[0] = out
 
+    if fin_ref is not None:
+        @pl.when(t == pl.num_programs(0) - 1)
+        def _():
+            fin_ref[...] = carry_ref[...]
+
 
 def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
               p1: int, p2: int, n_real: int, d_real: int,
               p2_maps: jnp.ndarray | None = None,
-              interpret: bool = False) -> jnp.ndarray:
+              init_carry: jnp.ndarray | None = None,
+              return_final_carry: bool = False,
+              interpret: bool = False):
     """One directional sweep over axis 0 of C (T, N, D) -> S (T, N, D) int16.
 
     dxs: in-carry sublane shift per fused direction (0 axial, ±1 diagonal).
     reverse: scan rows T-1..0 (up/backward paths). S_in, if given, is
     accumulated into (aliased in-place). p2_maps: (T, N, K) int32 for
     adaptive P2, else the scalar `p2` applies.
+
+    init_carry / return_final_carry: (K, N, D) int32 q-form carry slabs for
+    the exact ring strip hand-off (SURVEY.md §4.3b) — the recurrence sees
+    its predecessor row only through q = L - min_d L, so seeding with a
+    neighbour strip's final q continues the path bit-exactly.
     """
     T, N, D = C.shape
     K = len(dxs)
@@ -145,6 +157,9 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
 
     def imap(t):
         return (T - 1 - t, 0, 0) if reverse else (t, 0, 0)
+
+    def whole(t):
+        return (0, 0, 0)
 
     in_specs = [pl.BlockSpec((1, N, D), imap, memory_space=pltpu.VMEM)]
     operands = [C]
@@ -158,17 +173,28 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
             (1, N, K), (lambda t: (T - 1 - t, 0, 0)) if reverse else (lambda t: (t, 0, 0)),
             memory_space=pltpu.VMEM))
         operands.append(p2_maps)
+    if init_carry is not None:
+        in_specs.append(pl.BlockSpec((K, N, D), whole, memory_space=pltpu.VMEM))
+        operands.append(init_carry.astype(jnp.int32))
 
     kernel = functools.partial(
         _sweep_kernel, dxs=tuple(dxs), p1=p1, p2_const=p2, n_real=n_real,
-        d_real=d_real, has_s_in=S_in is not None, has_p2m=p2_maps is not None)
+        d_real=d_real, has_s_in=S_in is not None, has_p2m=p2_maps is not None,
+        has_init=init_carry is not None, has_fin=return_final_carry)
+
+    out_specs = pl.BlockSpec((1, N, D), imap, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((T, N, D), jnp.int16)
+    if return_final_carry:
+        out_specs = (out_specs,
+                     pl.BlockSpec((K, N, D), whole, memory_space=pltpu.VMEM))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((K, N, D), jnp.int32))
 
     return pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, N, D), imap, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, N, D), jnp.int16),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((K, N, D), jnp.int32)],
         input_output_aliases=aliases,
         interpret=interpret,

@@ -191,7 +191,8 @@ def speckle(disp: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     conn_v = valid[:-1, :] & valid[1:, :] & (jnp.abs(disp[:-1, :] - disp[1:, :]) <= rng)
     from tpustereo.utils.backend import pallas_mode
     mode = pallas_mode(cfg)
-    if mode != "off":
+    from tpustereo.kernels.cc_pallas import cc_pallas_fits
+    if mode != "off" and cc_pallas_fits(*disp.shape):
         from tpustereo.kernels import connected_component_labels_pallas
         lab = connected_component_labels_pallas(
             conn_h, conn_v, interpret=(mode == "interpret"))
