@@ -71,6 +71,10 @@ class Config:
             # dist/disp_shard.py) pack value*next_pow2(D)+d into int32;
             # 1024 leaves >2^20 of value headroom for every cost mode
             raise ValueError("num_disparities > 1024 unsupported")
+        if self.min_disparity < 0:
+            # the search window is [min_disparity, min_disparity + D);
+            # negative (verged-camera) offsets are not implemented
+            raise ValueError("min_disparity must be >= 0")
         ch, cw = self.census_window
         if ch % 2 == 0 or cw % 2 == 0:
             raise ValueError("census window dims must be odd")

@@ -34,12 +34,13 @@ def _wta_disp_sharded(left, right, cfg: Config):
     i = lax.axis_index(AXIS)
     D = cfg.num_disparities
     Dl = D // n
-    d0 = i * Dl
+    d0 = cfg.min_disparity + i * Dl
 
     if cfg.mode == "sad":
         # SAD runs at Tsukuba scale; full-volume-then-slice keeps it simple
         vol = lax.dynamic_slice_in_dim(
-            sad_volume(left, right, D, cfg.sad_block), d0, Dl,
+            sad_volume(left, right, D, cfg.sad_block,
+                       d_start=cfg.min_disparity), i * Dl, Dl,
             axis=2).astype(jnp.int32)
     else:
         cl = census(left, cfg.census_window)
@@ -49,11 +50,11 @@ def _wta_disp_sharded(left, right, cfg: Config):
 
     from tpustereo.ops.wta import next_pow2
     shift = next_pow2(max(D, 2))  # scales with D; a fixed 256 capped D at 256
-    dd = d0 + jnp.arange(Dl)[None, None, :]
-    packed = vol * shift + dd
+    jj = i * Dl + jnp.arange(Dl)[None, None, :]   # global plane index
+    packed = vol * shift + jj
     local = jnp.min(packed, axis=-1)
     best = lax.pmin(local, AXIS)
-    d_int = best & (shift - 1)
+    d_int = (best & (shift - 1)) + cfg.min_disparity
     return d_int.astype(jnp.float32)
 
 

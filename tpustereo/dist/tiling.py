@@ -173,7 +173,8 @@ def _volume_local(left_loc, right_loc, cfg: Config, n_real: int):
         r = cfg.sad_block // 2
         ext_l = halo_exchange(left_loc, r)
         ext_r = halo_exchange(right_loc, r)
-        S = sad_volume(ext_l, ext_r, cfg.num_disparities, cfg.sad_block)
+        S = sad_volume(ext_l, ext_r, cfg.num_disparities, cfg.sad_block,
+                       d_start=cfg.min_disparity)
         return S[r:S.shape[0] - r]
     if cfg.mode == "census_wta" or cfg.exact_tiling:
         # census needs only the window margin; exact thereafter
@@ -181,7 +182,8 @@ def _volume_local(left_loc, right_loc, cfg: Config, n_real: int):
         ext_r = halo_exchange(right_loc, ry)
         C = cost_volume(census(ext_l, cfg.census_window),
                         census(ext_r, cfg.census_window),
-                        cfg.num_disparities, cfg.max_census_cost)
+                        cfg.num_disparities, cfg.max_census_cost,
+                        d_start=cfg.min_disparity)
         C_loc = _zero_oob_rows(C[ry:C.shape[0] - ry], 0, Hs, n_real)
         if cfg.mode == "census_wta":
             return C_loc.astype(jnp.int16)
@@ -193,7 +195,8 @@ def _volume_local(left_loc, right_loc, cfg: Config, n_real: int):
     ext_r = halo_exchange(right_loc, h)
     C = cost_volume(census(ext_l, cfg.census_window),
                     census(ext_r, cfg.census_window),
-                    cfg.num_disparities, cfg.max_census_cost)
+                    cfg.num_disparities, cfg.max_census_cost,
+                    d_start=cfg.min_disparity)
     C = _zero_oob_rows(C, h, Hs, n_real)
     from tpustereo.pipeline.sgbm import _pallas_mode
     mode = _pallas_mode(cfg)
@@ -349,6 +352,7 @@ def _sgbm_strip(left_loc, right_loc, cfg: Config, n_real: int):
     mode = pallas_mode(cfg)
     fused_ok = (cfg.mode == "sgm" and mode != "off"
                 and cfg.census_bits <= 64 and cfg.num_disparities <= 128
+                and cfg.min_disparity == 0
                 and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096)
     if fused_ok and cfg.exact_tiling:
         disp, valid = _sgbm_strip_exact_fused(left_loc, right_loc, cfg,

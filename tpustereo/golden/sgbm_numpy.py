@@ -213,30 +213,35 @@ def aggregate_numpy(C: np.ndarray, cfg: Config, img: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def wta_numpy(S: np.ndarray, cfg: Config):
-    """(disp_float, disp_int, valid). Uniqueness + subpixel per module doc."""
+    """(disp_float, disp_int, valid). Uniqueness + subpixel per module doc.
+
+    Plane j of S is disparity hypothesis min_disparity + j; uniqueness and
+    the subpixel interior condition live in index space, the returned
+    disparities in true pixel units."""
     H, W, D = S.shape
     Si = S.astype(np.int64)
-    d_int = Si.argmin(axis=-1).astype(np.int32)
-    best = np.take_along_axis(Si, d_int[..., None], axis=-1)[..., 0]
+    j_int = Si.argmin(axis=-1).astype(np.int32)
+    best = np.take_along_axis(Si, j_int[..., None], axis=-1)[..., 0]
     valid = np.ones((H, W), dtype=bool)
 
     if cfg.uniqueness_ratio > 0:
         dd = np.arange(D)[None, None, :]
-        masked = np.where(np.abs(dd - d_int[..., None]) <= 1, _BIG.astype(np.int64), Si)
+        masked = np.where(np.abs(dd - j_int[..., None]) <= 1, _BIG.astype(np.int64), Si)
         second = masked.min(axis=-1)
         valid &= ~(second * 100 < best * (100 + cfg.uniqueness_ratio))
 
+    d_int = j_int + np.int32(cfg.min_disparity)
     disp = d_int.astype(np.float32)
     if cfg.subpixel:
-        dm = np.clip(d_int - 1, 0, D - 1)
-        dp = np.clip(d_int + 1, 0, D - 1)
+        dm = np.clip(j_int - 1, 0, D - 1)
+        dp = np.clip(j_int + 1, 0, D - 1)
         sm = np.take_along_axis(Si, dm[..., None], -1)[..., 0].astype(np.float32)
         sp = np.take_along_axis(Si, dp[..., None], -1)[..., 0].astype(np.float32)
         s0 = best.astype(np.float32)
         denom = sm - 2.0 * s0 + sp
         offs = np.where(denom > 0, (sm - sp) / np.maximum(2.0 * denom, 1e-9), 0.0)
         offs = np.clip(offs, -0.5, 0.5)
-        interior = (d_int > 0) & (d_int < D - 1)
+        interior = (j_int > 0) & (j_int < D - 1)
         disp = disp + np.where(interior, offs, 0.0).astype(np.float32)
     return disp, d_int, valid
 
@@ -245,17 +250,19 @@ def lr_check_numpy(S: np.ndarray, d_int: np.ndarray, disp: np.ndarray,
                    cfg: Config) -> np.ndarray:
     """Validity mask from the LR consistency check (§1.1).
 
-    Right disparity from the same volume: S_R(y,x,d) = S_L(y,x+d,d).
+    Right disparity from the same volume: S_R(y,x,j) = S_L(y,x+d,j) with
+    d = min_disparity + j.
     """
     H, W, D = S.shape
     if cfg.disp12_max_diff < 0:
         return np.ones((H, W), dtype=bool)
     SR = np.full((H, W, D), int(_BIG), dtype=np.int64)
-    for d in range(D):
+    for j in range(D):
+        d = cfg.min_disparity + j
         if d >= W:
             break
-        SR[:, : W - d, d] = S[:, d:, d]
-    d_r = SR.argmin(axis=-1).astype(np.int32)
+        SR[:, : W - d, j] = S[:, d:, j]
+    d_r = SR.argmin(axis=-1).astype(np.int32) + np.int32(cfg.min_disparity)
     xs = np.arange(W)[None, :]
     dl = np.round(disp).astype(np.int32)
     xr = xs - dl
@@ -321,12 +328,14 @@ def sgbm_numpy(left: np.ndarray, right: np.ndarray, cfg: Config,
     assert left.dtype == np.uint8 and right.dtype == np.uint8
     stages = {}
     if cfg.mode == "sad":
-        S = sad_volume_numpy(left, right, cfg.num_disparities, cfg.sad_block)
+        S = sad_volume_numpy(left, right, cfg.num_disparities, cfg.sad_block,
+                             min_disp=cfg.min_disparity)
         stages["volume"] = S
     else:
         cl = census_numpy(left, cfg.census_window)
         cr = census_numpy(right, cfg.census_window)
-        C = cost_volume_numpy(cl, cr, cfg.num_disparities, cfg.max_census_cost)
+        C = cost_volume_numpy(cl, cr, cfg.num_disparities, cfg.max_census_cost,
+                              min_disp=cfg.min_disparity)
         stages["census_l"], stages["census_r"], stages["cost"] = cl, cr, C
         if cfg.mode == "census_wta":
             S = C.astype(np.int32)

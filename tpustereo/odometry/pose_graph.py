@@ -94,12 +94,20 @@ class PoseGraph:
 
     # --- checkpoint / resume (SURVEY.md §5.4) ---------------------------
     def save(self, path: str, extra: dict | None = None) -> None:
-        np.savez(path,
+        # atomic write (tmp + rename): a process killed mid-save
+        # (SURVEY.md §5.3 fault injection) must never leave a truncated
+        # checkpoint behind — the previous one stays intact
+        import os
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        tmp = path + ".tmp.npz"
+        np.savez(tmp,
                  poses=np.stack(self.poses) if self.poses else np.zeros((0, 4, 4)),
                  edge_ij=np.array([[e[0], e[1]] for e in self.edges], np.int32).reshape(-1, 2),
                  edge_T=np.stack([e[2] for e in self.edges]) if self.edges else np.zeros((0, 4, 4)),
                  edge_w=np.array([e[3] for e in self.edges], np.float32),
                  **(extra or {}))
+        os.replace(tmp, path)
 
     @classmethod
     def load(cls, path: str) -> Tuple["PoseGraph", dict]:

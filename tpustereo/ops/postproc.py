@@ -33,9 +33,10 @@ _BIG = 1 << 24  # plain int: module import must not initialise the backend
 # LR consistency check
 # ---------------------------------------------------------------------------
 
-def _right_disparity(S: jnp.ndarray) -> jnp.ndarray:
-    """argmin_d S(y, x+d, d) — right-view WTA from the same aggregated
-    volume via the diagonal re-index (mirrors golden.lr_check_numpy).
+def _right_disparity(S: jnp.ndarray, min_disp: int = 0) -> jnp.ndarray:
+    """argmin_j S(y, x+d, j), d = min_disp + j — right-view WTA from the
+    same aggregated volume via the diagonal re-index (mirrors
+    golden.lr_check_numpy). Returns the disparity in true pixel units.
 
     Gather-free: one static shifted slice per disparity plane, min-reduced
     with (value, index) packed into a single int32 so ties break toward the
@@ -48,16 +49,17 @@ def _right_disparity(S: jnp.ndarray) -> jnp.ndarray:
     # packing factor scales with D (a fixed 256 silently corrupted D > 256)
     shift = next_pow2(max(D, 2))
     packed_best = jnp.full((H, W), big * shift, jnp.int32)
-    for d in range(min(D, W)):
-        plane = S[:, :, d].astype(jnp.int32)            # (H, W) static slice
+    for j in range(min(D, max(W - min_disp, 0))):
+        d = min_disp + j
+        plane = S[:, :, j].astype(jnp.int32)            # (H, W) static slice
         v = jnp.concatenate(
             [plane[:, d:], jnp.full((H, d), big, jnp.int32)], axis=1)
-        packed_best = jnp.minimum(packed_best, v * shift + d)
-    return packed_best & (shift - 1)
+        packed_best = jnp.minimum(packed_best, v * shift + j)
+    return (packed_best & (shift - 1)) + min_disp
 
 
 def dr_consistency(d_r: jnp.ndarray, disp: jnp.ndarray, num_disp: int,
-                   max_diff: int) -> jnp.ndarray:
+                   max_diff: int, min_disp: int = 0) -> jnp.ndarray:
     """|d_L(x) - d_R(x - round(d_L(x)))| <= max_diff given a precomputed
     right-disparity map. Gather-free: for each integer d, shift d_R right
     by d (static) and select where round(d_L) == d; the _BIG fill makes
@@ -69,7 +71,7 @@ def dr_consistency(d_r: jnp.ndarray, disp: jnp.ndarray, num_disp: int,
     dl = jnp.round(disp).astype(jnp.int32)
     diff = jnp.full((H, W), jnp.int32(_BIG))
     # d >= W cannot pass (x - d < 0 everywhere); the BIG init covers it
-    for d in range(min(num_disp, W)):
+    for d in range(min_disp, min(min_disp + num_disp, W)):
         shifted = jnp.concatenate(
             [jnp.full((H, d), jnp.int32(_BIG)), d_r[:, : W - d]], axis=1)
         diff = jnp.where(dl == d, jnp.abs(d - shifted), diff)
@@ -81,8 +83,9 @@ def lr_check(S: jnp.ndarray, disp: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     H, W, D = S.shape
     if cfg.disp12_max_diff < 0:
         return jnp.ones((H, W), bool)
-    d_r = _right_disparity(S)
-    return dr_consistency(d_r, disp, D, cfg.disp12_max_diff)
+    d_r = _right_disparity(S, cfg.min_disparity)
+    return dr_consistency(d_r, disp, D, cfg.disp12_max_diff,
+                          cfg.min_disparity)
 
 
 # ---------------------------------------------------------------------------

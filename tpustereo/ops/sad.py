@@ -11,12 +11,13 @@ import jax.numpy as jnp
 
 
 def sad_volume(left: jnp.ndarray, right: jnp.ndarray, num_disp: int,
-               block: int) -> jnp.ndarray:
+               block: int, d_start: int = 0) -> jnp.ndarray:
+    """Plane j searches disparity hypothesis d_start + j (min_disparity)."""
     H, W = left.shape
     li = left.astype(jnp.int32)
     ri = right.astype(jnp.int32)
     xs = jnp.arange(W)[:, None]
-    ds = jnp.arange(num_disp)[None, :]
+    ds = d_start + jnp.arange(num_disp)[None, :]
     idx = xs - ds
     valid = idx >= 0
     r_g = jnp.take(ri, jnp.clip(idx, 0, W - 1), axis=1)   # (H, W, D)

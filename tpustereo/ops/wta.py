@@ -40,22 +40,23 @@ def wta(S: jnp.ndarray, cfg: Config):
     bits = shift.bit_length() - 1
     m = jnp.min(Si * shift + iota, axis=-1)
     best = m >> bits
-    d_int = m & (shift - 1)
+    j_int = m & (shift - 1)        # plane index; disparity = min_disp + j
     valid = jnp.ones((H, W), bool)
 
     if cfg.uniqueness_ratio > 0:
-        masked = jnp.where(jnp.abs(iota - d_int[..., None]) <= 1, _BIG, Si)
+        masked = jnp.where(jnp.abs(iota - j_int[..., None]) <= 1, _BIG, Si)
         second = masked.min(axis=-1)
         valid &= ~(second * 100 < best * (100 + cfg.uniqueness_ratio))
 
+    d_int = j_int + jnp.int32(cfg.min_disparity)
     disp = d_int.astype(jnp.float32)
     if cfg.subpixel:
         # S at d*-1 / d*+1 (clamped) via exact one-hot sums: a single fused
         # pass over the volume, O(1) ops to trace (the per-plane select loop
         # this replaces emitted 2·D ops — a compile-time bomb at D=128 on
         # the 5-30-min remote-compile box)
-        dm = jnp.maximum(d_int - 1, 0)[..., None]
-        dp = jnp.minimum(d_int + 1, D - 1)[..., None]
+        dm = jnp.maximum(j_int - 1, 0)[..., None]
+        dp = jnp.minimum(j_int + 1, D - 1)[..., None]
         sm = jnp.sum(jnp.where(iota == dm, Si, 0), axis=-1)
         sp = jnp.sum(jnp.where(iota == dp, Si, 0), axis=-1)
         smf = sm.astype(jnp.float32)
@@ -64,6 +65,6 @@ def wta(S: jnp.ndarray, cfg: Config):
         denom = smf - 2.0 * s0 + spf
         offs = jnp.where(denom > 0, (smf - spf) / jnp.maximum(2.0 * denom, 1e-9), 0.0)
         offs = jnp.clip(offs, -0.5, 0.5)
-        interior = (d_int > 0) & (d_int < D - 1)
+        interior = (j_int > 0) & (j_int < D - 1)
         disp = disp + jnp.where(interior, offs, 0.0)
     return disp, d_int, valid

@@ -27,10 +27,12 @@ from tpustereo.utils.backend import pallas_mode as _pallas_mode  # noqa: E402
 def sgbm_volume(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """The aggregated cost volume S for (left, right); (H, W, D) int16/int32."""
     if cfg.mode == "sad":
-        return sad_volume(left, right, cfg.num_disparities, cfg.sad_block)
+        return sad_volume(left, right, cfg.num_disparities, cfg.sad_block,
+                          d_start=cfg.min_disparity)
     mode = _pallas_mode(cfg)
     interp = mode == "interpret"
-    if mode != "off" and cfg.census_bits <= 64 and cfg.num_disparities <= 128:
+    if (mode != "off" and cfg.census_bits <= 64 and cfg.num_disparities <= 128
+            and cfg.min_disparity == 0):
         from tpustereo.kernels import census_cost_volume_pallas
         C = census_cost_volume_pallas(left, right, cfg.num_disparities,
                                       cfg.max_census_cost, cfg.census_window,
@@ -38,7 +40,8 @@ def sgbm_volume(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
     else:
         cl = census(left, cfg.census_window)
         cr = census(right, cfg.census_window)
-        C = cost_volume(cl, cr, cfg.num_disparities, cfg.max_census_cost)
+        C = cost_volume(cl, cr, cfg.num_disparities, cfg.max_census_cost,
+                        d_start=cfg.min_disparity)
     if cfg.mode == "census_wta":
         return C.astype(jnp.int16)
     if mode != "off":
@@ -50,8 +53,9 @@ def sgbm_volume(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
 def _select_and_refine(S: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     mode = _pallas_mode(cfg)
     # SAD volumes can exceed int16 at large blocks; the kernel packs *256
-    # and its shear assumes D <= 128
+    # and its shear assumes D <= 128; the kernels search from d = 0 only
     if (mode != "off" and cfg.num_disparities <= 128
+            and cfg.min_disparity == 0
             and (cfg.mode != "sad" or cfg.sad_block <= 11)):
         from tpustereo.kernels import wta_lr_pallas
         disp, valid = wta_lr_pallas(S, cfg, interpret=(mode == "interpret"))
@@ -82,7 +86,7 @@ def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     # and log-shear tricks assume D <= 128 lanes; the 12-bit parabola-delta
     # packing assumes S_max = paths*(C_max+P2) < 4096
     if (cfg.mode == "sgm" and mode != "off" and cfg.census_bits <= 64
-            and cfg.num_disparities <= 128
+            and cfg.num_disparities <= 128 and cfg.min_disparity == 0
             and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096):
         # fully fused kernel path: cost -> sweeps -> WTA without the
         # completed S volume ever round-tripping HBM
