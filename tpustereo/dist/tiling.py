@@ -224,13 +224,16 @@ def _sgbm_strip_fused(left_loc, right_loc, cfg: Config, n_real: int,
     h = _effective_halo(cfg, left_loc.shape[0], ry)
     ext_l = halo_exchange(left_loc, h)
     ext_r = halo_exchange(right_loc, h)
+    He, W = ext_l.shape
+    # padded sweep-ready frame (no volume slice/pad copy); padded rows are
+    # already zero, out-of-image halo/bottom rows are zeroed on top (exact
+    # fresh path starts) — see _zero_oob_rows
     C = census_cost_volume_pallas(ext_l, ext_r, cfg.num_disparities,
                                   cfg.max_census_cost, cfg.census_window,
-                                  interpret=interp)
-    # out-of-image rows get uniform zero cost (exact fresh path start), as
-    # in the jnp halo branch — see _zero_oob_rows
+                                  interpret=interp, padded=True)
     C = _zero_oob_rows(C, h, left_loc.shape[0], n_real)
-    disp_e, valid_e, dr_e = sgm_select_pallas(C, cfg, ext_l, interpret=interp)
+    disp_e, valid_e, dr_e = sgm_select_pallas(
+        C, cfg, ext_l, interpret=interp, dims=(He, W, cfg.num_disparities))
     sl = slice(h, disp_e.shape[0] - h)
     disp, valid, d_r = disp_e[sl], valid_e[sl], dr_e[sl]
     if cfg.disp12_max_diff >= 0:

@@ -83,7 +83,7 @@ def _shear_down(slab: jnp.ndarray, lane: jnp.ndarray) -> jnp.ndarray:
     return slab
 
 
-def _kernel(*refs, n_dy, rx, d_real, max_cost, w_real):
+def _kernel(*refs, n_dy, rx, d_real, max_cost, w_real, h_real, align):
     l_refs = refs[:n_dy]
     r_refs = refs[n_dy:2 * n_dy]
     out_ref = refs[2 * n_dy]
@@ -101,24 +101,40 @@ def _kernel(*refs, n_dy, rx, d_real, max_cost, w_real):
         pc = p if pc is None else pc + p
     pc = jnp.where((col - lane < 0) | (lane >= d_real) | (col >= w_real),
                    max_cost, pc)
+    if align:
+        # aligned/padded emission: real col x on lane x (one sublane roll,
+        # vs a full-volume lane-shift relayout pass after the kernel), and
+        # padded rows (>= h_real) uniform ZERO — a lane-uniform cost row
+        # keeps the sweeps' q-carry at a fresh path start, so reverse scans
+        # entering from the padding are exact (see dist.tiling)
+        pc = pltpu.roll(pc, (Wq - rx) % Wq, axis=1)
+        t = pl.program_id(0)
+        row = t * R + jax.lax.broadcasted_iota(jnp.int32, (R, Wq, D), 0)
+        pc = jnp.where(row >= h_real, 0, pc)
     out_ref[...] = pc.astype(jnp.uint8)
 
 
 def census_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
                               num_disp: int, max_cost: int,
                               window=(5, 5),
-                              interpret: bool = False) -> jnp.ndarray:
+                              interpret: bool = False,
+                              padded: bool = False) -> jnp.ndarray:
     """(H, W) uint8 ×2 -> (H, W, D) uint8 cost volume, one fused pass.
 
     Drop-in for `cost_volume(census(l), census(r), ...)` when the census
-    fits 32 bits.
+    fits 64 bits.
+
+    padded=True returns the sweep-ready frame instead: (Hp, Wq, Dp) with
+    real col x on lane x, H rounded to 8, W+margins rounded to 128, and
+    zero cost on the padded rows — `sgm_select_pallas` consumes it with no
+    intermediate slice/pad copy of the volume.
     """
     ch, cw = window
     assert ch * cw - 1 <= 64, "Pallas census kernel supports <=64 bits"
     ry, rx = ch // 2, cw // 2
     H, W = left.shape
     Dp = _round_up(num_disp, 128)
-    Hp = _round_up(H, _ROWS)
+    Hp = _round_up(H, 8 if padded else _ROWS)
     Wq = _round_up(W + 2 * rx, 128)
     G = Hp // _ROWS
 
@@ -136,7 +152,8 @@ def census_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
     spec = pl.BlockSpec((1, _ROWS, Wq), lambda t: (t, 0, 0),
                         memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel, n_dy=n_dy, rx=rx, d_real=num_disp,
-                               max_cost=max_cost, w_real=W)
+                               max_cost=max_cost, w_real=W, h_real=H,
+                               align=padded)
     C = pl.pallas_call(
         kernel,
         grid=(G,),
@@ -146,4 +163,6 @@ def census_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((Hp, Wq, Dp), jnp.uint8),
         interpret=interpret,
     )(*operands)
+    if padded:
+        return C
     return C[:H, rx:rx + W, :num_disp]

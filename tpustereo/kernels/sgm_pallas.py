@@ -78,6 +78,10 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real,
     t = pl.program_id(0)
     N, D = carry_ref.shape[1], carry_ref.shape[2]
 
+    # scan_axis=1 uses squeezed (N, None, D) blocks: refs arrive 2-D
+    def slab(ref):
+        return ref[...] if ref.ndim == 2 else ref[0]
+
     # carries hold the renormalised q = L - min_d L (the bracket of the
     # recurrence becomes min(q, q±1+P1, P2), so the P2 clip is a scalar and
     # a fresh path start is a uniform-ZERO carry -> L = C). The recurrence
@@ -94,7 +98,7 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real,
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 0)
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
 
-    c = c_ref[0].astype(jnp.int32)
+    c = slab(c_ref).astype(jnp.int32)
     if d_real < D:  # padded disparity lanes act as +inf hypotheses
         c = jnp.where(lane_idx >= d_real, _BIG, c)
 
@@ -114,7 +118,7 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real,
         dn = _roll(q, 1, axis=1)
         dn = jnp.where(lane_idx == 0, _BIG, dn)
         if p2_ref is not None:
-            p2 = p2_ref[0, :, k:k + 1]
+            p2 = slab(p2_ref)[:, k:k + 1]
         else:
             p2 = p2_const
         cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn) + p1), p2)
@@ -124,8 +128,11 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real,
 
     out = total.astype(jnp.int16)
     if s_ref is not None:
-        out = out + s_ref[0]
-    out_ref[0] = out
+        out = out + slab(s_ref)
+    if out_ref.ndim == 2:
+        out_ref[...] = out
+    else:
+        out_ref[0] = out
 
     if fin_ref is not None:
         @pl.when(t == pl.num_programs(0) - 1)
@@ -138,6 +145,7 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
               p2_maps: jnp.ndarray | None = None,
               init_carry: jnp.ndarray | None = None,
               return_final_carry: bool = False,
+              scan_axis: int = 0,
               interpret: bool = False):
     """One directional sweep over axis 0 of C (T, N, D) -> S (T, N, D) int16.
 
@@ -150,28 +158,43 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     the exact ring strip hand-off (SURVEY.md §4.3b) — the recurrence sees
     its predecessor row only through q = L - min_d L, so seeding with a
     neighbour strip's final q continues the path bit-exactly.
+
+    scan_axis=1: C/S are (N, T, D) and the scan runs over dim 1 via
+    squeezed (N, None, D) blocks — the DMA engine does the strided gather,
+    so the horizontal sweeps read the SAME volume layout as the vertical
+    ones and the former (W, H, D) transpose passes (2×2.8 ms/frame of pure
+    relayout at KITTI size) disappear.
     """
-    T, N, D = C.shape
+    if scan_axis == 0:
+        T, N, D = C.shape
+    else:
+        N, T, D = C.shape
     K = len(dxs)
     assert D % 128 == 0 and N % 8 == 0, (N, D)
 
-    def imap(t):
-        return (T - 1 - t, 0, 0) if reverse else (t, 0, 0)
+    if scan_axis == 0:
+        def imap(t):
+            return (T - 1 - t, 0, 0) if reverse else (t, 0, 0)
+        slab_spec = pl.BlockSpec((1, N, D), imap, memory_space=pltpu.VMEM)
+        p2_spec = pl.BlockSpec((1, N, K), imap, memory_space=pltpu.VMEM)
+    else:
+        def imap(t):
+            return (0, T - 1 - t, 0) if reverse else (0, t, 0)
+        slab_spec = pl.BlockSpec((N, None, D), imap, memory_space=pltpu.VMEM)
+        p2_spec = pl.BlockSpec((N, None, K), imap, memory_space=pltpu.VMEM)
 
     def whole(t):
         return (0, 0, 0)
 
-    in_specs = [pl.BlockSpec((1, N, D), imap, memory_space=pltpu.VMEM)]
+    in_specs = [slab_spec]
     operands = [C]
     aliases = {}
     if S_in is not None:
-        in_specs.append(pl.BlockSpec((1, N, D), imap, memory_space=pltpu.VMEM))
+        in_specs.append(slab_spec)
         operands.append(S_in)
         aliases = {1: 0}
     if p2_maps is not None:
-        in_specs.append(pl.BlockSpec(
-            (1, N, K), (lambda t: (T - 1 - t, 0, 0)) if reverse else (lambda t: (t, 0, 0)),
-            memory_space=pltpu.VMEM))
+        in_specs.append(p2_spec)
         operands.append(p2_maps)
     if init_carry is not None:
         in_specs.append(pl.BlockSpec((K, N, D), whole, memory_space=pltpu.VMEM))
@@ -182,8 +205,8 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
         d_real=d_real, has_s_in=S_in is not None, has_p2m=p2_maps is not None,
         has_init=init_carry is not None, has_fin=return_final_carry)
 
-    out_specs = pl.BlockSpec((1, N, D), imap, memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((T, N, D), jnp.int16)
+    out_specs = slab_spec
+    out_shape = jax.ShapeDtypeStruct(C.shape[:2] + (D,), jnp.int16)
     if return_final_carry:
         out_specs = (out_specs,
                      pl.BlockSpec((K, N, D), whole, memory_space=pltpu.VMEM))
@@ -227,12 +250,15 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, n_real, d_real,
     x = T - 1 - t
     lane = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
 
+    def slab(ref):  # squeezed (N, None, D) blocks arrive 2-D
+        return ref[...] if ref.ndim == 2 else ref[0]
+
     @pl.when(t == 0)
     def _():
         carry_ref[...] = jnp.zeros((N, D), jnp.int32)   # q-form, see sweep
         amin_ref[...] = jnp.full((N, D), _BIGPACK * 256, jnp.int32)
 
-    c = c_ref[0].astype(jnp.int32)
+    c = slab(c_ref).astype(jnp.int32)
     if d_real < D:
         c = jnp.where(lane >= d_real, _BIG, c)
 
@@ -242,13 +268,16 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, n_real, d_real,
     up = jnp.where(lane == D - 1, _BIG, up)
     dn = _roll(q, 1, axis=1)
     dn = jnp.where(lane == 0, _BIG, dn)
-    p2 = p2_ref[0, :, 0:1] if p2_ref is not None else p2_const
+    if p2_ref is not None:
+        p2 = slab(p2_ref)[:, 0:1]
+    else:
+        p2 = p2_const
     cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn) + p1), p2)
     L = c + cand
 
-    real = x < w_real  # scan axis may carry transpose-tile padding up front
+    real = x < w_real  # scan axis may carry frame padding up front
 
-    S = s_ref[0].astype(jnp.int32) + L                  # final S column (N, D)
+    S = slab(s_ref).astype(jnp.int32) + L               # final S column (N, D)
     if d_real < D:
         S = jnp.where(lane >= d_real, _BIGPACK, S)
     else:
@@ -305,6 +334,7 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, n_real, d_real,
 def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
                   w_real: int, d_real: int,
                   p2_maps: jnp.ndarray | None = None,
+                  scan_axis: int = 0,
                   interpret: bool = False):
     """Backward-horizontal sweep over Ct (W, N, D) + fused WTA.
 
@@ -315,21 +345,32 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
     parabola floats are computed here from the packed deltas with exactly
     the golden ops (integer deltas <= 8*(C_max+P2) < 4096 are exact in
     f32, so the result is bit-identical to the in-kernel float version).
-    """
-    T, N, D = Ct.shape
-    Wx = _round_up(T, 128)
 
-    def imap(t):
-        return (T - 1 - t, 0, 0)
+    scan_axis=1: Ct/St are (N, W, D) — the untransposed volume layout —
+    and the backward x-scan rides squeezed (N, None, D) strided blocks
+    (see sgm_sweep), removing the transpose passes.
+    """
+    if scan_axis == 0:
+        T, N, D = Ct.shape
+        def imap(t):
+            return (T - 1 - t, 0, 0)
+        slab_spec = pl.BlockSpec((1, N, D), imap, memory_space=pltpu.VMEM)
+        p2_spec = pl.BlockSpec((1, N, 1), imap, memory_space=pltpu.VMEM)
+    else:
+        N, T, D = Ct.shape
+        def imap(t):
+            return (0, T - 1 - t, 0)
+        slab_spec = pl.BlockSpec((N, None, D), imap, memory_space=pltpu.VMEM)
+        p2_spec = pl.BlockSpec((N, None, 1), imap, memory_space=pltpu.VMEM)
+    Wx = _round_up(T, 128)
 
     def omap(t):
         return (0, (T - 1 - t) // 128)
 
-    in_specs = [pl.BlockSpec((1, N, D), imap, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, N, D), imap, memory_space=pltpu.VMEM)]
+    in_specs = [slab_spec, slab_spec]
     operands = [Ct, St]
     if p2_maps is not None:
-        in_specs.append(pl.BlockSpec((1, N, 1), imap, memory_space=pltpu.VMEM))
+        in_specs.append(p2_spec)
         operands.append(p2_maps)
 
     kernel = functools.partial(
@@ -365,45 +406,52 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
 
 
 def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
-                      interpret: bool = False):
+                      interpret: bool = False, dims=None):
     """Aggregation + WTA + uniqueness + subpixel + right-disparity, fully
     fused: down/up/fwd sweeps accumulate S, the bwd sweep consumes it and
-    emits per-pixel outputs — the completed S volume never round-trips HBM.
+    emits per-pixel outputs — the completed S volume never round-trips HBM,
+    and all four sweeps read ONE volume layout (the horizontal scans use
+    strided squeezed blocks, sgm_sweep scan_axis=1), so the former
+    transpose passes are gone.
+
+    C: the exact (H, W, D) volume, or — with dims=(H, W, D) — the padded
+    sweep frame straight from census_cost_volume_pallas(padded=True)
+    (saves the slice+pad relayout of the whole volume). Padded rows must
+    be lane-uniform (zero) so reverse scans stay exact.
 
     Returns (disp float32 (H, W), valid bool (H, W), d_r int32 (H, W));
     the d_L/d_R consistency comparison runs outside on the small maps
     (`ops.postproc.dr_consistency`). Bit-exact integer outputs vs the jnp
     ops; float disparity matches to ~1e-6 (Mosaic float rounding).
     """
-    H, W, D = C.shape
-    Dp = _round_up(D, 128)
-    Wp = _round_up(W, 32)
+    if dims is None:
+        H, W, D = C.shape
+        Hp = _round_up(H, 8)
+        Wq = _round_up(W, 128)
+        Dp = _round_up(D, 128)
+        C = jnp.pad(C, ((0, Hp - H), (0, Wq - W), (0, Dp - D)))
+    else:
+        H, W, D = dims
+        Hp, Wq, Dp = C.shape
     down = [(1, 0), (1, 1), (1, -1)] if cfg.paths == 8 else [(1, 0)]
     up = [(-1, 0), (-1, 1), (-1, -1)] if cfg.paths == 8 else [(-1, 0)]
     dxs_v = tuple(dx for _, dx in down)
 
-    Cv = jnp.pad(C, ((0, 0), (0, Wp - W), (0, Dp - D)))
     sweep = functools.partial(sgm_sweep, p1=cfg.p1, p2=cfg.p2, n_real=W,
                               d_real=D, interpret=interpret)
-    S = sweep(Cv, None, dxs_v, False,
-              p2_maps=_p2_stack(img, down, cfg, False, H, Wp))
-    S = sweep(Cv, S, dxs_v, True,
-              p2_maps=_p2_stack(img, up, cfg, False, H, Wp))
+    S = sweep(C, None, dxs_v, False,
+              p2_maps=_p2_stack(img, down, cfg, False, Hp, Wq))
+    S = sweep(C, S, dxs_v, True,
+              p2_maps=_p2_stack(img, up, cfg, False, Hp, Wq))
 
-    # tile-transpose kernels; the padded scan columns (T in [W, Wp)) are
-    # inert: the fwd sweep reaches them last, the bwd+WTA kernel skips its
-    # state updates for them (`real` guard)
-    from tpustereo.kernels.transpose_pallas import transpose_hw_pallas
-    Ct = transpose_hw_pallas(Cv, interpret=interpret, trim=False)  # (Wp, H8, Dp)
-    St = transpose_hw_pallas(S, interpret=interpret, trim=False)
-    Tt, H8 = Ct.shape[0], Ct.shape[1]
-    sweep_t = functools.partial(sgm_sweep, p1=cfg.p1, p2=cfg.p2, n_real=H,
-                                d_real=D, interpret=interpret)
-    St = sweep_t(Ct, St, (0,), False,
-                 p2_maps=_p2_stack(img, [(0, 1)], cfg, True, Tt, H8))
-    p2b = _p2_stack(img, [(0, -1)], cfg, True, Tt, H8)
-    disp, valid, d_r = sweep_bwd_wta(Ct, St, cfg, w_real=W, d_real=D,
-                                     p2_maps=p2b, interpret=interpret)
+    sweep_h = functools.partial(sgm_sweep, p1=cfg.p1, p2=cfg.p2, n_real=H,
+                                d_real=D, scan_axis=1, interpret=interpret)
+    S = sweep_h(C, S, (0,), False,
+                p2_maps=_p2_stack(img, [(0, 1)], cfg, False, Hp, Wq))
+    p2b = _p2_stack(img, [(0, -1)], cfg, False, Hp, Wq)
+    disp, valid, d_r = sweep_bwd_wta(C, S, cfg, w_real=W, d_real=D,
+                                     p2_maps=p2b, scan_axis=1,
+                                     interpret=interpret)
     return (disp[:H, :W], valid[:H, :W].astype(bool), d_r[:H, :W])
 
 
@@ -431,39 +479,34 @@ def aggregate_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     """S = Σ_r L_r over 4/8 directions; (H, W, D) int16.
 
     Drop-in replacement for `ops.sgm.aggregate` (bit-exact). Four fused
-    sweeps: down {S,SE,SW} and up {N,NE,NW} over C, forward {E} and backward
-    {W} over C^T; 4-path mode drops the diagonals from the vertical sweeps.
+    sweeps: down {S,SE,SW} and up {N,NE,NW} scanning rows, forward {E} and
+    backward {W} scanning columns of the SAME layout via strided squeezed
+    blocks (sgm_sweep scan_axis=1) — no transpose passes. Reverse scans
+    enter through the zero padding, which is an exact fresh path start
+    (lane-uniform rows/cols keep the q-carry at 0).
     """
     H, W, D = C.shape
     Dp = _round_up(D, 128)
-    Wp = _round_up(W, 32)   # uint8 sublane tile
+    Wq = _round_up(W, 128)
+    Hp = _round_up(H, 8)
     p1, p2 = cfg.p1, cfg.p2
 
     down = [(1, 0), (1, 1), (1, -1)] if cfg.paths == 8 else [(1, 0)]
     up = [(-1, 0), (-1, 1), (-1, -1)] if cfg.paths == 8 else [(-1, 0)]
     dxs_v = tuple(dx for _, dx in down)
 
-    # vertical + diagonal sweeps in (H, W, D); scan axis needs no padding
-    Cv = jnp.pad(C, ((0, 0), (0, Wp - W), (0, Dp - D)))
+    Cv = jnp.pad(C, ((0, Hp - H), (0, Wq - W), (0, Dp - D)))
     sweep = functools.partial(sgm_sweep, p1=p1, p2=p2, n_real=W, d_real=D,
                               interpret=interpret)
     S = sweep(Cv, None, dxs_v, False,
-              p2_maps=_p2_stack(img, down, cfg, False, H, Wp))
+              p2_maps=_p2_stack(img, down, cfg, False, Hp, Wq))
     S = sweep(Cv, S, dxs_v, True,
-              p2_maps=_p2_stack(img, up, cfg, False, H, Wp))
+              p2_maps=_p2_stack(img, up, cfg, False, Hp, Wq))
 
-    # horizontal sweeps in transposed layout (W, H, D). The padded scan
-    # columns (T in [W, Wp)) are uniform zero, so the backward sweep's
-    # carry renormalises to a fresh path start on entering the real region
-    # — exact without masking.
-    from tpustereo.kernels.transpose_pallas import transpose_hw_pallas
-    Ct = transpose_hw_pallas(Cv, interpret=interpret, trim=False)
-    St = transpose_hw_pallas(S, interpret=interpret, trim=False)
-    Tt, H8 = Ct.shape[0], Ct.shape[1]
-    sweep_t = functools.partial(sgm_sweep, p1=p1, p2=p2, n_real=H, d_real=D,
-                                interpret=interpret)
-    St = sweep_t(Ct, St, (0,), False,
-                 p2_maps=_p2_stack(img, [(0, 1)], cfg, True, Tt, H8))
-    St = sweep_t(Ct, St, (0,), True,
-                 p2_maps=_p2_stack(img, [(0, -1)], cfg, True, Tt, H8))
-    return transpose_hw_pallas(St, interpret=interpret)[:H, :W, :D]
+    sweep_h = functools.partial(sgm_sweep, p1=p1, p2=p2, n_real=H, d_real=D,
+                                scan_axis=1, interpret=interpret)
+    S = sweep_h(Cv, S, (0,), False,
+                p2_maps=_p2_stack(img, [(0, 1)], cfg, False, Hp, Wq))
+    S = sweep_h(Cv, S, (0,), True,
+                p2_maps=_p2_stack(img, [(0, -1)], cfg, False, Hp, Wq))
+    return S[:H, :W, :D]

@@ -89,16 +89,21 @@ def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
             and cfg.num_disparities <= 128 and cfg.min_disparity == 0
             and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096):
         # fully fused kernel path: cost -> sweeps -> WTA without the
-        # completed S volume ever round-tripping HBM
+        # completed S volume ever round-tripping HBM; the cost kernel emits
+        # the sweep-ready padded frame (padded=True) so the volume is never
+        # sliced/re-padded either
         from tpustereo.kernels import census_cost_volume_pallas, sgm_select_pallas
         from tpustereo.ops.postproc import dr_consistency
         interp = mode == "interpret"
+        H, W = left.shape
         with jax.named_scope("cost_volume"):
             C = census_cost_volume_pallas(
                 left, right, cfg.num_disparities, cfg.max_census_cost,
-                cfg.census_window, interpret=interp)
+                cfg.census_window, interpret=interp, padded=True)
         with jax.named_scope("sgm_select"):
-            disp, valid, d_r = sgm_select_pallas(C, cfg, left, interpret=interp)
+            disp, valid, d_r = sgm_select_pallas(
+                C, cfg, left, interpret=interp,
+                dims=(H, W, cfg.num_disparities))
         with jax.named_scope("postproc"):
             if cfg.disp12_max_diff >= 0:
                 valid &= dr_consistency(d_r, disp, cfg.num_disparities,
