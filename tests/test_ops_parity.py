@@ -111,6 +111,21 @@ def test_speckle_parity(pair):
     assert (g == j).all()
 
 
+def test_component_big_matches_sizes(rng):
+    # component_big's packed payload-free distribute sort must equal the
+    # full component_sizes >= thresh at every threshold
+    from tpustereo.ops.postproc import (component_big, component_sizes,
+                                        connected_component_labels)
+    v = rng.random((24, 40)) < 0.6
+    conn_h = jnp.asarray(v[:, :-1] & v[:, 1:])
+    conn_v = jnp.asarray(v[:-1, :] & v[1:, :])
+    lab = connected_component_labels(conn_h, conn_v)
+    sizes = np.asarray(component_sizes(lab))
+    for thresh in (1, 3, 10, 100):
+        big = np.asarray(component_big(lab, thresh))
+        assert (big == (sizes >= thresh)).all()
+
+
 def test_speckle_worst_case_snake():
     # a long thin valid snake: must NOT be invalidated (component is big);
     # regression test for naive fixed-iteration label propagation.

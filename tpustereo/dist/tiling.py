@@ -287,13 +287,13 @@ def _sgbm_strip_exact_fused(left_loc, right_loc, cfg: Config, n_real: int,
                             interp: bool):
     """Exact-ring strip body on the fused kernel path: cost kernel on a
     census-margin extended strip -> ring-tiled vertical sweeps -> strip-
-    local transposed fwd sweep -> fused bwd sweep + WTA + d_R. Identical
-    math to `_aggregate_tiled_exact` + `wta`/`lr_check` (integer stages
-    bit-exact; float subpixel to fp tolerance)."""
+    local transposed fwd sweep -> fused bwd sweep + WTA + d_R (fattened
+    grid steps, see kernels.sgm_pallas). Identical math to
+    `_aggregate_tiled_exact` + `wta`/`lr_check` (integer stages bit-exact;
+    float subpixel to fp tolerance)."""
     from tpustereo.kernels import census_cost_volume_pallas
     from tpustereo.kernels.sgm_pallas import (_p2_stack, _round_up,
                                               sgm_sweep, sweep_bwd_wta)
-    from tpustereo.kernels.transpose_pallas import transpose_hw_pallas
     from tpustereo.ops.postproc import dr_consistency
     from tpustereo.ops.sgm import p2_map
 
@@ -307,8 +307,8 @@ def _sgbm_strip_exact_fused(left_loc, right_loc, cfg: Config, n_real: int,
     C_loc = _zero_oob_rows(C[ry:C.shape[0] - ry], 0, Hs, n_real)
     _, W, D = C_loc.shape
     Dp = _round_up(D, 128)
-    Wp = _round_up(W, 32)
-    Cv = jnp.pad(C_loc, ((0, 0), (0, Wp - W), (0, Dp - D)))
+    Wq = _round_up(W, 128)
+    Cv = jnp.pad(C_loc, ((0, 0), (0, Wq - W), (0, Dp - D)))
 
     down = [(1, 0), (1, 1), (1, -1)] if cfg.paths == 8 else [(1, 0)]
     up = [(-1, 0), (-1, 1), (-1, -1)] if cfg.paths == 8 else [(-1, 0)]
@@ -321,22 +321,24 @@ def _sgbm_strip_exact_fused(left_loc, right_loc, cfg: Config, n_real: int,
             return None
         maps = [p2_map(ext_l, dy, dx, cfg)[ry:ry + Hs] for dy, dx in dirs]
         st = jnp.stack(maps, axis=-1).astype(jnp.int32)
-        return jnp.pad(st, ((0, 0), (0, Wp - W), (0, 0)))
+        return jnp.pad(st, ((0, 0), (0, Wq - W), (0, 0)))
 
     S = _ring_sweep_pallas(Cv, dxs_v, False, cfg, W, D, p2_ext(down), interp)
     S = S + _ring_sweep_pallas(Cv, dxs_v, True, cfg, W, D, p2_ext(up), interp)
 
     # horizontal paths are strip-local: transposed fwd sweep, then the
     # fused bwd sweep + WTA (as sgm_select_pallas)
+    from tpustereo.kernels.transpose_pallas import transpose_hw_pallas
     Ct = transpose_hw_pallas(Cv, interpret=interp, trim=False)
     St = transpose_hw_pallas(S, interpret=interp, trim=False)
     Tt, H8 = Ct.shape[0], Ct.shape[1]
     St = sgm_sweep(Ct, St, (0,), False, p1=cfg.p1, p2=cfg.p2, n_real=Hs,
-                   d_real=D, interpret=interp,
+                   d_real=D, rows_per_step=16, interpret=interp,
                    p2_maps=_p2_stack(left_loc, [(0, 1)], cfg, True, Tt, H8))
     p2b = _p2_stack(left_loc, [(0, -1)], cfg, True, Tt, H8)
     disp, valid, d_r = sweep_bwd_wta(Ct, St, cfg, w_real=W, d_real=D,
-                                     p2_maps=p2b, interpret=interp)
+                                     p2_maps=p2b, rows_per_step=16,
+                                     interpret=interp)
     disp = disp[:Hs, :W]
     valid = valid[:Hs, :W].astype(bool)
     d_r = d_r[:Hs, :W]
@@ -388,11 +390,15 @@ def _sgbm_strip(left_loc, right_loc, cfg: Config, n_real: int):
 
 
 def _pad_rows(x: jnp.ndarray, strips: int) -> jnp.ndarray:
-    """Pad the row axis (last-but-one) to a multiple of the strip count with
-    edge replication, so real rows near the bottom see exactly the untiled
-    census border convention; the padded rows' costs are zeroed in-strip."""
+    """Pad the row axis (last-but-one) to a multiple of strips*8 with edge
+    replication, so real rows near the bottom see exactly the untiled census
+    border convention; the padded rows' costs are zeroed in-strip (an exact
+    fresh path start, see _zero_oob_rows). The *8 makes every strip height a
+    sublane multiple, which keeps every per-strip volume slab tile-aligned
+    for the fattened sweep kernels with no per-strip row re-pad — global
+    bottom padding is exact, mid-ring padding would not be."""
     H = x.shape[-2]
-    Hp = -(-H // strips) * strips
+    Hp = -(-H // (strips * 8)) * (strips * 8)
     if Hp == H:
         return x
     pad = [(0, 0)] * x.ndim

@@ -11,11 +11,17 @@ on-core loop.
 
 Layout (SURVEY.md §7 hard parts): D (disparity) rides the 128-lane minor
 dimension; the perpendicular image axis N fills sublanes; the scan axis T is
-the grid. A sweep processes every direction with the same scan-axis sign at
-once (e.g. S, SE, SW going down): diagonals differ only by an in-carry
-sublane shift dx, so they share the C slab load and the S accumulation.
-The four sweeps (down, up over rows of C; forward, backward over rows of
-C^T) accumulate S in place via input/output aliasing — the full 8-path
+the grid, fattened to R scanlines per grid step — blocks are (R, N, D) and
+the kernel walks the R lines serially in-register (ref[j] major-axis reads,
+which Mosaic handles exactly; single-sublane squeezed blocks over the middle
+axis are illegal, and unaligned sublane slicing is silently wrong — see the
+r1 census bug). Fattening amortises the per-step fixed cost (DMA issue +
+grid bookkeeping), which measured ~half the per-step time at KITTI size.
+A sweep processes every direction with the same scan-axis sign at once
+(e.g. S, SE, SW going down): diagonals differ only by an in-carry sublane
+shift dx, so they share the C slab load and the S accumulation. The four
+sweeps (down, up over rows of C; forward, backward over rows of C^T)
+accumulate S in place via input/output aliasing — the full 8-path
 aggregation reads C twice + C^T twice and writes/reads S once per sweep.
 
 Bit-exact vs `ops.sgm.aggregate` / `golden.aggregate_numpy`: the uniform-BIG
@@ -42,6 +48,14 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _fit_rows(T: int, want: int) -> int:
+    """Largest divisor of T that is <= want (fattened rows per grid step)."""
+    r = max(1, min(want, T))
+    while T % r:
+        r -= 1
+    return r
+
+
 def _roll(x, shift: int, axis: int):
     """Circular shift; pltpu.roll only takes non-negative shifts."""
     return pltpu.roll(x, shift % x.shape[axis], axis=axis)
@@ -58,10 +72,11 @@ def _min_lanes_full(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real,
+def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
                   has_s_in, has_p2m, has_init, has_fin):
-    """One grid step = one scanline. rest = ([s_ref], [p2_ref], [init_ref],
-    out_ref, [fin_ref], carry_ref) depending on flags."""
+    """One grid step = R scanlines, walked serially in-register (reversed
+    for reverse sweeps). rest = ([s_ref], [p2_ref], [init_ref], out_ref,
+    [fin_ref], carry_ref) depending on flags."""
     idx = 0
     s_ref = rest[idx] if has_s_in else None
     idx += 1 if has_s_in else 0
@@ -77,10 +92,6 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real,
 
     t = pl.program_id(0)
     N, D = carry_ref.shape[1], carry_ref.shape[2]
-
-    # scan_axis=1 uses squeezed (N, None, D) blocks: refs arrive 2-D
-    def slab(ref):
-        return ref[...] if ref.ndim == 2 else ref[0]
 
     # carries hold the renormalised q = L - min_d L (the bracket of the
     # recurrence becomes min(q, q±1+P1, P2), so the P2 clip is a scalar and
@@ -98,41 +109,40 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real,
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 0)
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
 
-    c = slab(c_ref).astype(jnp.int32)
-    if d_real < D:  # padded disparity lanes act as +inf hypotheses
-        c = jnp.where(lane_idx >= d_real, _BIG, c)
+    order = range(R - 1, -1, -1) if reverse else range(R)
+    for j in order:
+        c = c_ref[j].astype(jnp.int32)
+        if d_real < D:  # padded disparity lanes act as +inf hypotheses
+            c = jnp.where(lane_idx >= d_real, _BIG, c)
 
-    total = None
-    for k, dx in enumerate(dxs):
-        q = carry_ref[k]
-        if dx != 0:
-            q = _roll(q, dx, axis=0)
-            # rows whose predecessor (n - dx) falls outside [0, n_real)
-            # start a fresh path: uniform-zero q gives L = C below. For
-            # dx == 0 padded rows never interact with real rows.
-            invalid = (row_idx < dx) | (row_idx >= n_real + dx)
-            q = jnp.where(invalid, 0, q)
+        total = None
+        for k, dx in enumerate(dxs):
+            q = carry_ref[k]
+            if dx != 0:
+                q = _roll(q, dx, axis=0)
+                # rows whose predecessor (n - dx) falls outside [0, n_real)
+                # start a fresh path: uniform-zero q gives L = C below. For
+                # dx == 0 padded rows never interact with real rows.
+                invalid = (row_idx < dx) | (row_idx >= n_real + dx)
+                q = jnp.where(invalid, 0, q)
 
-        up = _roll(q, -1, axis=1)
-        up = jnp.where(lane_idx == D - 1, _BIG, up)
-        dn = _roll(q, 1, axis=1)
-        dn = jnp.where(lane_idx == 0, _BIG, dn)
-        if p2_ref is not None:
-            p2 = slab(p2_ref)[:, k:k + 1]
-        else:
-            p2 = p2_const
-        cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn) + p1), p2)
-        L = c + cand
-        carry_ref[k] = L - _min_lanes_full(L)
-        total = L if total is None else total + L
+            up = _roll(q, -1, axis=1)
+            up = jnp.where(lane_idx == D - 1, _BIG, up)
+            dn = _roll(q, 1, axis=1)
+            dn = jnp.where(lane_idx == 0, _BIG, dn)
+            if p2_ref is not None:
+                p2 = p2_ref[j][:, k:k + 1]
+            else:
+                p2 = p2_const
+            cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn) + p1), p2)
+            L = c + cand
+            carry_ref[k] = L - _min_lanes_full(L)
+            total = L if total is None else total + L
 
-    out = total.astype(jnp.int16)
-    if s_ref is not None:
-        out = out + slab(s_ref)
-    if out_ref.ndim == 2:
-        out_ref[...] = out
-    else:
-        out_ref[0] = out
+        out = total.astype(jnp.int16)
+        if s_ref is not None:
+            out = out + s_ref[j]
+        out_ref[j] = out
 
     if fin_ref is not None:
         @pl.when(t == pl.num_programs(0) - 1)
@@ -145,7 +155,7 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
               p2_maps: jnp.ndarray | None = None,
               init_carry: jnp.ndarray | None = None,
               return_final_carry: bool = False,
-              scan_axis: int = 0,
+              rows_per_step: int = 0,
               interpret: bool = False):
     """One directional sweep over axis 0 of C (T, N, D) -> S (T, N, D) int16.
 
@@ -159,42 +169,35 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     its predecessor row only through q = L - min_d L, so seeding with a
     neighbour strip's final q continues the path bit-exactly.
 
-    scan_axis=1: C/S are (N, T, D) and the scan runs over dim 1 via
-    squeezed (N, None, D) blocks — the DMA engine does the strided gather,
-    so the horizontal sweeps read the SAME volume layout as the vertical
-    ones and the former (W, H, D) transpose passes (2×2.8 ms/frame of pure
-    relayout at KITTI size) disappear.
+    rows_per_step: scanlines per grid step (clamped to a divisor of T);
+    0 picks a VMEM-safe default — 8 when only C streams, 4 when S_in
+    doubles the streamed bytes (at KITTI N=1280 the larger slab set plus
+    double buffering must stay well under the ~16 MB VMEM budget).
     """
-    if scan_axis == 0:
-        T, N, D = C.shape
-    else:
-        N, T, D = C.shape
+    T, N, D = C.shape
     K = len(dxs)
     assert D % 128 == 0 and N % 8 == 0, (N, D)
+    if rows_per_step <= 0:
+        rows_per_step = 4 if S_in is not None else 8
+    R = _fit_rows(T, rows_per_step)
+    G = T // R
 
-    if scan_axis == 0:
-        def imap(t):
-            return (T - 1 - t, 0, 0) if reverse else (t, 0, 0)
-        slab_spec = pl.BlockSpec((1, N, D), imap, memory_space=pltpu.VMEM)
-        p2_spec = pl.BlockSpec((1, N, K), imap, memory_space=pltpu.VMEM)
-    else:
-        def imap(t):
-            return (0, T - 1 - t, 0) if reverse else (0, t, 0)
-        slab_spec = pl.BlockSpec((N, None, D), imap, memory_space=pltpu.VMEM)
-        p2_spec = pl.BlockSpec((N, None, K), imap, memory_space=pltpu.VMEM)
+    def imap(g):
+        return (G - 1 - g, 0, 0) if reverse else (g, 0, 0)
 
-    def whole(t):
+    def whole(g):
         return (0, 0, 0)
 
-    in_specs = [slab_spec]
+    in_specs = [pl.BlockSpec((R, N, D), imap, memory_space=pltpu.VMEM)]
     operands = [C]
     aliases = {}
     if S_in is not None:
-        in_specs.append(slab_spec)
+        in_specs.append(pl.BlockSpec((R, N, D), imap, memory_space=pltpu.VMEM))
         operands.append(S_in)
         aliases = {1: 0}
     if p2_maps is not None:
-        in_specs.append(p2_spec)
+        in_specs.append(pl.BlockSpec((R, N, K), imap,
+                                     memory_space=pltpu.VMEM))
         operands.append(p2_maps)
     if init_carry is not None:
         in_specs.append(pl.BlockSpec((K, N, D), whole, memory_space=pltpu.VMEM))
@@ -202,11 +205,12 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
 
     kernel = functools.partial(
         _sweep_kernel, dxs=tuple(dxs), p1=p1, p2_const=p2, n_real=n_real,
-        d_real=d_real, has_s_in=S_in is not None, has_p2m=p2_maps is not None,
+        d_real=d_real, R=R, reverse=reverse,
+        has_s_in=S_in is not None, has_p2m=p2_maps is not None,
         has_init=init_carry is not None, has_fin=return_final_carry)
 
-    out_specs = slab_spec
-    out_shape = jax.ShapeDtypeStruct(C.shape[:2] + (D,), jnp.int16)
+    out_specs = pl.BlockSpec((R, N, D), imap, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((T, N, D), jnp.int16)
     if return_final_carry:
         out_specs = (out_specs,
                      pl.BlockSpec((K, N, D), whole, memory_space=pltpu.VMEM))
@@ -214,7 +218,7 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
 
     return pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(G,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -228,16 +232,18 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
 # final backward sweep fused with WTA + incremental right-disparity
 # ---------------------------------------------------------------------------
 
-def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, n_real, d_real,
-                    w_real, has_p2m):
-    """Grid step t = column x = W-1-t (blocks arrive reversed): runs the W
-    (backward-horizontal) SGM step, completes S for this column, and does
-    WTA + uniqueness + subpixel immediately — S never returns to HBM. The
-    right-view disparity d_R(x) = argmin_d S(x+d, d) falls out of the same
-    backward order with a rolling packed-min carry: column x's diagonal has
-    received its d-th term at step x+d, so lane 0 completes exactly now
-    (no shear needed). Outputs are written one column-lane at a time into
-    (N, 128) blocks revisited for 128 consecutive steps."""
+def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, d_real,
+                    w_real, R, has_p2m):
+    """Grid step g = columns x in [xb, xb+R), xb = (G-1-g)*R, walked in
+    descending order: runs the W (backward-horizontal) SGM step, completes S
+    for each column, and does WTA + uniqueness + subpixel immediately — S
+    never returns to HBM. The right-view disparity d_R(x) = argmin_d
+    S(x+d, d) falls out of the same backward order with a rolling packed-min
+    carry: column x's diagonal has received its d-th term at step x+d, so
+    lane 0 completes exactly now (no shear needed). Outputs are written one
+    column-lane at a time into (N, 128) blocks revisited across steps
+    (callers keep the scan length a multiple of 128 and R | 128, so a
+    step's columns never straddle an output block)."""
     idx = 0
     p2_ref = rest[idx] if has_p2m else None
     idx += 1 if has_p2m else 0
@@ -245,96 +251,97 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, n_real, d_real,
     carry_ref, amin_ref = rest[idx + 2:idx + 4]
 
     t = pl.program_id(0)
-    T = pl.num_programs(0)
+    G = pl.num_programs(0)
     N, D = carry_ref.shape
-    x = T - 1 - t
+    xb = (G - 1 - t) * R
     lane = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
-
-    def slab(ref):  # squeezed (N, None, D) blocks arrive 2-D
-        return ref[...] if ref.ndim == 2 else ref[0]
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)
 
     @pl.when(t == 0)
     def _():
         carry_ref[...] = jnp.zeros((N, D), jnp.int32)   # q-form, see sweep
         amin_ref[...] = jnp.full((N, D), _BIGPACK * 256, jnp.int32)
 
-    c = slab(c_ref).astype(jnp.int32)
-    if d_real < D:
-        c = jnp.where(lane >= d_real, _BIG, c)
+    for j in range(R - 1, -1, -1):
+        x = xb + j
+        c = c_ref[j].astype(jnp.int32)
+        if d_real < D:
+            c = jnp.where(lane >= d_real, _BIG, c)
 
-    # SGM backward-horizontal step (dx = 0), renormalised q carry
-    q = carry_ref[...]
-    up = _roll(q, -1, axis=1)
-    up = jnp.where(lane == D - 1, _BIG, up)
-    dn = _roll(q, 1, axis=1)
-    dn = jnp.where(lane == 0, _BIG, dn)
-    if p2_ref is not None:
-        p2 = slab(p2_ref)[:, 0:1]
-    else:
-        p2 = p2_const
-    cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn) + p1), p2)
-    L = c + cand
+        # SGM backward-horizontal step (dx = 0), renormalised q carry
+        q = carry_ref[...]
+        up = _roll(q, -1, axis=1)
+        up = jnp.where(lane == D - 1, _BIG, up)
+        dn = _roll(q, 1, axis=1)
+        dn = jnp.where(lane == 0, _BIG, dn)
+        if p2_ref is not None:
+            p2 = p2_ref[j][:, 0:1]
+        else:
+            p2 = p2_const
+        cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn) + p1), p2)
+        L = c + cand
 
-    real = x < w_real  # scan axis may carry frame padding up front
+        real = x < w_real  # scan axis may carry frame padding at the end
 
-    S = slab(s_ref).astype(jnp.int32) + L               # final S column (N, D)
-    if d_real < D:
-        S = jnp.where(lane >= d_real, _BIGPACK, S)
-    else:
-        # padded-lane L can reach ~2^24; clamp so packing cannot wrap
-        S = jnp.minimum(S, _BIGPACK)
+        S = s_ref[j].astype(jnp.int32) + L              # final S column (N, D)
+        if d_real < D:
+            S = jnp.where(lane >= d_real, _BIGPACK, S)
+        else:
+            # padded-lane L can reach ~2^24; clamp so packing cannot wrap
+            S = jnp.minimum(S, _BIGPACK)
 
-    packed = S * 256 + lane
-    m = _min_lanes_full(packed)[:, :1]                  # (N, 1)
-    best = m >> 8
-    d_int = m & 255
+        packed = S * 256 + lane
+        m = _min_lanes_full(packed)[:, :1]              # (N, 1)
+        best = m >> 8
+        d_int = m & 255
 
-    valid = jnp.full((N, 1), True)  # padded sublane rows are sliced off
-    if cfg.uniqueness_ratio > 0:
-        masked = jnp.where(jnp.abs(lane - d_int) <= 1, _BIGPACK * 256, S)
-        second = _min_lanes_full(masked)[:, :1]
-        valid &= ~(second * 100 < best * (100 + cfg.uniqueness_ratio))
+        valid = jnp.full((N, 1), True)  # padded sublane rows are sliced off
+        if cfg.uniqueness_ratio > 0:
+            masked = jnp.where(jnp.abs(lane - d_int) <= 1, _BIGPACK * 256, S)
+            second = _min_lanes_full(masked)[:, :1]
+            valid &= ~(second * 100 < best * (100 + cfg.uniqueness_ratio))
 
-    if cfg.subpixel:
-        # only the parabola deltas leave the kernel; the float math runs
-        # once over the (H, W) maps outside (the ~10 float ops per step on
-        # lane-padded (N, 1) columns cost a full slab op each in Mosaic)
-        dm = jnp.maximum(d_int - 1, 0)
-        dp = jnp.minimum(d_int + 1, d_real - 1)
-        sm = _min_lanes_full(jnp.where(lane == dm, S, _BIGPACK * 256))[:, :1]
-        sp = _min_lanes_full(jnp.where(lane == dp, S, _BIGPACK * 256))[:, :1]
-        deltas = (sm - best) * 4096 + (sp - best)
-    else:
-        deltas = jnp.zeros((N, 1), jnp.int32)
+        if cfg.subpixel:
+            # only the parabola deltas leave the kernel; the float math runs
+            # once over the (H, W) maps outside (the ~10 float ops per step
+            # on lane-padded (N, 1) columns cost a full slab op each in
+            # Mosaic)
+            dm = jnp.maximum(d_int - 1, 0)
+            dp = jnp.minimum(d_int + 1, d_real - 1)
+            sm = _min_lanes_full(jnp.where(lane == dm, S, _BIGPACK * 256))[:, :1]
+            sp = _min_lanes_full(jnp.where(lane == dp, S, _BIGPACK * 256))[:, :1]
+            deltas = (sm - best) * 4096 + (sp - best)
+        else:
+            deltas = jnp.zeros((N, 1), jnp.int32)
 
-    # incremental right-view WTA: lane j of amin accumulates column x-j's
-    # diagonal; lane 0 is complete at this step
-    A = jnp.minimum(amin_ref[...], packed)
-    d_r = A[:, 0:1] & 255
-    A = _roll(A, -1, axis=1)
+        # incremental right-view WTA: lane i of amin accumulates column
+        # x-i's diagonal; lane 0 is complete at this step
+        A = jnp.minimum(amin_ref[...], packed)
+        d_r = A[:, 0:1] & 255
+        A = _roll(A, -1, axis=1)
 
-    @pl.when(real)  # padded leading scan steps must not touch any state
-    def _():
-        carry_ref[...] = L - _min_lanes_full(L)
-        amin_ref[...] = jnp.where(lane == D - 1, _BIGPACK * 256, A)
+        @pl.when(real)  # padded trailing scan steps must not touch state
+        def _():
+            carry_ref[...] = L - _min_lanes_full(L)
+            amin_ref[...] = jnp.where(lane == D - 1, _BIGPACK * 256, A)
 
-    # Mosaic cannot prove dynamic single-lane stores aligned; write via a
-    # lane-masked read-modify-write of the (N, 128) block instead (the block
-    # is revisited for 128 consecutive steps, so this stays in VMEM).
-    # out1 = valid<<16 | d_int<<8 | d_R; out2 = (sm-s0)<<12 | (sp-s0).
-    xm = x % 128
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)
-    hit = lane128 == xm
-    o1 = valid.astype(jnp.int32) * 65536 + d_int * 256 + d_r
-    o1_ref[...] = jnp.where(hit, jnp.broadcast_to(o1, (N, 128)), o1_ref[...])
-    o2_ref[...] = jnp.where(hit, jnp.broadcast_to(deltas, (N, 128)),
-                            o2_ref[...])
+        # Mosaic cannot prove dynamic single-lane stores aligned; write via
+        # a lane-masked read-modify-write of the (N, 128) block instead (the
+        # block is revisited across steps, so this stays in VMEM).
+        # out1 = valid<<16 | d_int<<8 | d_R; out2 = (sm-s0)<<12 | (sp-s0).
+        xm = x % 128
+        hit = lane128 == xm
+        o1 = valid.astype(jnp.int32) * 65536 + d_int * 256 + d_r
+        o1_ref[...] = jnp.where(hit, jnp.broadcast_to(o1, (N, 128)),
+                                o1_ref[...])
+        o2_ref[...] = jnp.where(hit, jnp.broadcast_to(deltas, (N, 128)),
+                                o2_ref[...])
 
 
 def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
                   w_real: int, d_real: int,
                   p2_maps: jnp.ndarray | None = None,
-                  scan_axis: int = 0,
+                  rows_per_step: int = 8,
                   interpret: bool = False):
     """Backward-horizontal sweep over Ct (W, N, D) + fused WTA.
 
@@ -345,41 +352,35 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
     parabola floats are computed here from the packed deltas with exactly
     the golden ops (integer deltas <= 8*(C_max+P2) < 4096 are exact in
     f32, so the result is bit-identical to the in-kernel float version).
-
-    scan_axis=1: Ct/St are (N, W, D) — the untransposed volume layout —
-    and the backward x-scan rides squeezed (N, None, D) strided blocks
-    (see sgm_sweep), removing the transpose passes.
     """
-    if scan_axis == 0:
-        T, N, D = Ct.shape
-        def imap(t):
-            return (T - 1 - t, 0, 0)
-        slab_spec = pl.BlockSpec((1, N, D), imap, memory_space=pltpu.VMEM)
-        p2_spec = pl.BlockSpec((1, N, 1), imap, memory_space=pltpu.VMEM)
-    else:
-        N, T, D = Ct.shape
-        def imap(t):
-            return (0, T - 1 - t, 0)
-        slab_spec = pl.BlockSpec((N, None, D), imap, memory_space=pltpu.VMEM)
-        p2_spec = pl.BlockSpec((N, None, 1), imap, memory_space=pltpu.VMEM)
+    T, N, D = Ct.shape
+    R = _fit_rows(T, rows_per_step)
+    if T % 128 or 128 % R:
+        R = 1  # output blocks are 128 columns; a step must stay inside one
+    G = T // R
     Wx = _round_up(T, 128)
 
-    def omap(t):
-        return (0, (T - 1 - t) // 128)
+    def imap(g):
+        return (G - 1 - g, 0, 0)
 
-    in_specs = [slab_spec, slab_spec]
+    def omap(g):
+        return (0, ((G - 1 - g) * R) // 128)
+
+    in_specs = [pl.BlockSpec((R, N, D), imap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, N, D), imap, memory_space=pltpu.VMEM)]
     operands = [Ct, St]
     if p2_maps is not None:
-        in_specs.append(p2_spec)
+        in_specs.append(pl.BlockSpec((R, N, 1), imap,
+                                     memory_space=pltpu.VMEM))
         operands.append(p2_maps)
 
     kernel = functools.partial(
-        _bwd_wta_kernel, cfg=cfg, p1=cfg.p1, p2_const=cfg.p2, n_real=N,
-        d_real=d_real, w_real=w_real, has_p2m=p2_maps is not None)
+        _bwd_wta_kernel, cfg=cfg, p1=cfg.p1, p2_const=cfg.p2,
+        d_real=d_real, w_real=w_real, R=R, has_p2m=p2_maps is not None)
 
     o1, o2 = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(G,),
         in_specs=in_specs,
         out_specs=(pl.BlockSpec((N, 128), omap, memory_space=pltpu.VMEM),
                    pl.BlockSpec((N, 128), omap, memory_space=pltpu.VMEM)),
@@ -408,16 +409,16 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
 def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
                       interpret: bool = False, dims=None):
     """Aggregation + WTA + uniqueness + subpixel + right-disparity, fully
-    fused: down/up/fwd sweeps accumulate S, the bwd sweep consumes it and
-    emits per-pixel outputs — the completed S volume never round-trips HBM,
-    and all four sweeps read ONE volume layout (the horizontal scans use
-    strided squeezed blocks, sgm_sweep scan_axis=1), so the former
-    transpose passes are gone.
+    fused: down/up sweeps accumulate S, the transposed fwd sweep adds the E
+    paths, and the bwd sweep consumes S and emits per-pixel outputs — the
+    completed S volume never round-trips HBM.
 
     C: the exact (H, W, D) volume, or — with dims=(H, W, D) — the padded
     sweep frame straight from census_cost_volume_pallas(padded=True)
-    (saves the slice+pad relayout of the whole volume). Padded rows must
-    be lane-uniform (zero) so reverse scans stay exact.
+    (saves the slice+pad relayout of the whole volume). Padded rows must be
+    lane-uniform (zero) and padded columns lane-uniform (max_cost), so
+    reverse scans entering through padding renormalise to an exact fresh
+    path start before reaching real pixels.
 
     Returns (disp float32 (H, W), valid bool (H, W), d_r int32 (H, W));
     the d_L/d_R consistency comparison runs outside on the small maps
@@ -444,13 +445,21 @@ def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     S = sweep(C, S, dxs_v, True,
               p2_maps=_p2_stack(img, up, cfg, False, Hp, Wq))
 
-    sweep_h = functools.partial(sgm_sweep, p1=cfg.p1, p2=cfg.p2, n_real=H,
-                                d_real=D, scan_axis=1, interpret=interpret)
-    S = sweep_h(C, S, (0,), False,
-                p2_maps=_p2_stack(img, [(0, 1)], cfg, False, Hp, Wq))
-    p2b = _p2_stack(img, [(0, -1)], cfg, False, Hp, Wq)
-    disp, valid, d_r = sweep_bwd_wta(C, S, cfg, w_real=W, d_real=D,
-                                     p2_maps=p2b, scan_axis=1,
+    # tile-transpose kernels for the horizontal scans; the padded scan
+    # columns are inert: the fwd sweep reaches them last, the bwd+WTA
+    # kernel skips its state updates for them (`real` guard)
+    from tpustereo.kernels.transpose_pallas import transpose_hw_pallas
+    Ct = transpose_hw_pallas(C, interpret=interpret, trim=False)
+    St = transpose_hw_pallas(S, interpret=interpret, trim=False)
+    Tt, H8 = Ct.shape[0], Ct.shape[1]
+    sweep_t = functools.partial(sgm_sweep, p1=cfg.p1, p2=cfg.p2, n_real=H,
+                                d_real=D, rows_per_step=16,
+                                interpret=interpret)
+    St = sweep_t(Ct, St, (0,), False,
+                 p2_maps=_p2_stack(img, [(0, 1)], cfg, True, Tt, H8))
+    p2b = _p2_stack(img, [(0, -1)], cfg, True, Tt, H8)
+    disp, valid, d_r = sweep_bwd_wta(Ct, St, cfg, w_real=W, d_real=D,
+                                     p2_maps=p2b, rows_per_step=16,
                                      interpret=interpret)
     return (disp[:H, :W], valid[:H, :W].astype(bool), d_r[:H, :W])
 
@@ -479,11 +488,8 @@ def aggregate_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     """S = Σ_r L_r over 4/8 directions; (H, W, D) int16.
 
     Drop-in replacement for `ops.sgm.aggregate` (bit-exact). Four fused
-    sweeps: down {S,SE,SW} and up {N,NE,NW} scanning rows, forward {E} and
-    backward {W} scanning columns of the SAME layout via strided squeezed
-    blocks (sgm_sweep scan_axis=1) — no transpose passes. Reverse scans
-    enter through the zero padding, which is an exact fresh path start
-    (lane-uniform rows/cols keep the q-carry at 0).
+    sweeps: down {S,SE,SW} and up {N,NE,NW} over C, forward {E} and backward
+    {W} over C^T; 4-path mode drops the diagonals from the vertical sweeps.
     """
     H, W, D = C.shape
     Dp = _round_up(D, 128)
@@ -495,6 +501,7 @@ def aggregate_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     up = [(-1, 0), (-1, 1), (-1, -1)] if cfg.paths == 8 else [(-1, 0)]
     dxs_v = tuple(dx for _, dx in down)
 
+    # vertical + diagonal sweeps in (H, W, D)
     Cv = jnp.pad(C, ((0, Hp - H), (0, Wq - W), (0, Dp - D)))
     sweep = functools.partial(sgm_sweep, p1=p1, p2=p2, n_real=W, d_real=D,
                               interpret=interpret)
@@ -503,10 +510,18 @@ def aggregate_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     S = sweep(Cv, S, dxs_v, True,
               p2_maps=_p2_stack(img, up, cfg, False, Hp, Wq))
 
-    sweep_h = functools.partial(sgm_sweep, p1=p1, p2=p2, n_real=H, d_real=D,
-                                scan_axis=1, interpret=interpret)
-    S = sweep_h(Cv, S, (0,), False,
-                p2_maps=_p2_stack(img, [(0, 1)], cfg, False, Hp, Wq))
-    S = sweep_h(Cv, S, (0,), True,
-                p2_maps=_p2_stack(img, [(0, -1)], cfg, False, Hp, Wq))
-    return S[:H, :W, :D]
+    # horizontal sweeps in transposed layout (W, H, D). The padded scan
+    # columns (T in [W, Wq)) are uniform zero, so the backward sweep's
+    # carry renormalises to a fresh path start on entering the real region
+    # — exact without masking.
+    from tpustereo.kernels.transpose_pallas import transpose_hw_pallas
+    Ct = transpose_hw_pallas(Cv, interpret=interpret, trim=False)
+    St = transpose_hw_pallas(S, interpret=interpret, trim=False)
+    Tt, H8 = Ct.shape[0], Ct.shape[1]
+    sweep_t = functools.partial(sgm_sweep, p1=p1, p2=p2, n_real=H, d_real=D,
+                                rows_per_step=16, interpret=interpret)
+    St = sweep_t(Ct, St, (0,), False,
+                 p2_maps=_p2_stack(img, [(0, 1)], cfg, True, Tt, H8))
+    St = sweep_t(Ct, St, (0,), True,
+                 p2_maps=_p2_stack(img, [(0, -1)], cfg, True, Tt, H8))
+    return transpose_hw_pallas(St, interpret=interpret)[:H, :W, :D]

@@ -184,6 +184,30 @@ def component_sizes(lab: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(H, W)
 
 
+def component_big(lab: jnp.ndarray, thresh: int) -> jnp.ndarray:
+    """Per-pixel mask 'my component has >= thresh pixels' — what speckle
+    actually consumes. Same run-length machinery as `component_sizes`, but
+    the distribute-back needs only ONE bit, so it rides the sort key
+    (si*2 + big) and the second sort is payload-free — measurably cheaper
+    than carrying a full int32 count payload (the double-sort was over half
+    the speckle stage's cost at KITTI size)."""
+    H, W = lab.shape
+    n = H * W
+    flat = lab.reshape(-1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sl, si = jax.lax.sort((flat, idx), num_keys=1)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), sl[1:] != sl[:-1]])
+    is_end = jnp.concatenate([sl[1:] != sl[:-1], jnp.ones((1,), bool)])
+    spos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos, -1))
+    epos = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(is_end, pos, n), reverse=True)
+    big = (epos - spos + 1) >= thresh
+    packed = si * 2 + big.astype(jnp.int32)
+    return (jax.lax.sort(packed) & 1).astype(bool).reshape(H, W)
+
+
 def speckle(disp: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """Invalidate components smaller than speckle_window_size (mirrors
     golden.speckle_numpy: 4-connectivity, |Δd| <= speckle_range)."""
@@ -201,7 +225,7 @@ def speckle(disp: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> jnp.ndarray:
             conn_h, conn_v, interpret=(mode == "interpret"))
     else:
         lab = connected_component_labels(conn_h, conn_v)
-    big = component_sizes(lab) >= cfg.speckle_window_size
+    big = component_big(lab, cfg.speckle_window_size)
     return valid & big
 
 
