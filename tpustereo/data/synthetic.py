@@ -83,7 +83,7 @@ def synthetic_pair(shape=(96, 128), disparity=8.0, slope=0.0, seed=0,
 def synthetic_sequence(n_frames: int = 8, shape=(96, 128), depth: float = 8.0,
                        fx: float = 200.0, baseline: float = 0.5,
                        step_x: float = 0.1, slant: float = 0.3,
-                       seed: int = 0):
+                       seed: int = 0, cam_xs=None):
     """Geometrically consistent stereo sequence: a textured world plane
     Z(U) = depth + slant*U viewed by a camera translating along +x by
     `step_x` metres per frame. All views are exact closed-form resamplings
@@ -97,6 +97,9 @@ def synthetic_sequence(n_frames: int = 8, shape=(96, 128), depth: float = 8.0,
     Geometry: pixel x of a camera at world x = c sees the plane point with
     U solving (U - c)/Z(U) = xi, xi = (x - cx)/fx:
         U = (c + xi*depth) / (1 - xi*slant).
+
+    cam_xs: explicit camera x positions per frame (overrides n_frames /
+    step_x) — e.g. an out-and-back loop for loop-closure tests.
     """
     from tpustereo.data.datasets import KittiCalib
     H, W = shape
@@ -109,7 +112,11 @@ def synthetic_sequence(n_frames: int = 8, shape=(96, 128), depth: float = 8.0,
         return (cam_x + xi * depth) / (1.0 - xi * slant)
 
     # texture span: U across all frames/cameras, converted to tex pixels
-    cams = [i * step_x for i in range(n_frames)]
+    if cam_xs is None:
+        cam_xs = [i * step_x for i in range(n_frames)]
+    cam_xs = [float(c) for c in cam_xs]
+    n_frames = len(cam_xs)
+    cams = list(cam_xs)
     cams += [c + baseline for c in cams]
     u_min = min(float(u_of(c).min()) for c in cams)
     u_max = max(float(u_of(c).max()) for c in cams)
@@ -124,9 +131,9 @@ def synthetic_sequence(n_frames: int = 8, shape=(96, 128), depth: float = 8.0,
 
     frames = []
     poses = np.zeros((n_frames, 4, 4), np.float32)
-    for i in range(n_frames):
-        frames.append((render(i * step_x), render(i * step_x + baseline)))
+    for i, c in enumerate(cam_xs):
+        frames.append((render(c), render(c + baseline)))
         poses[i] = np.eye(4)
-        poses[i][0, 3] = step_x * i
+        poses[i][0, 3] = c
     calib = KittiCalib(fx=fx, fy=fx, cx=cx, cy=H / 2.0, baseline=baseline)
     return calib, frames, poses

@@ -10,7 +10,7 @@ keyframe pose graph, periodically re-optimized. State is checkpointable
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -34,6 +34,11 @@ class OdometryConfig:
     optimize_every: int = 5             # pose-graph GN every K keyframes
     min_depth: float = 0.5
     max_depth: float = 80.0
+    # --- loop closure (drift correction) -------------------------------
+    loop_closure: bool = True
+    lc_min_gap: int = 6        # keyframe-index gap before a pair is eligible
+    lc_min_matches: int = 30   # tentative mutual matches to attempt PnP
+    lc_max_residual: float = 2.0  # px; geometric-verification gate
 
 
 @dataclasses.dataclass
@@ -57,6 +62,8 @@ class StereoOdometry:
         self._mesh = mesh
         self.graph = PoseGraph()
         self.kf: Optional[_Keyframe] = None
+        self.kfs: List[_Keyframe] = []   # keyframe database for loop closure
+        self.closures: List[Tuple[int, int]] = []  # accepted closure edges
         self.pose = np.eye(4, dtype=np.float32)      # world <- current cam
         self._traj: List[np.ndarray] = []
         self._frames = 0
@@ -88,7 +95,9 @@ class StereoOdometry:
     def _make_keyframe(self, pts, desc, valid, disp) -> _Keyframe:
         X, ok = self._backproject(pts, disp)
         node = self.graph.add_keyframe(self.pose)
-        return _Keyframe(node, pts, desc, X, valid & ok)
+        kf = _Keyframe(node, pts, desc, X, valid & ok)
+        self.kfs.append(kf)
+        return kf
 
     def _match(self, left: np.ndarray, right: np.ndarray) -> np.ndarray:
         """Disparity for one pair: the strip-tiled distributed pipeline when
@@ -140,10 +149,55 @@ class StereoOdometry:
                                 np.asarray(inv_se3(jnp.asarray(T))),
                                 weight=min(1.0, n_matches / 100.0))
             self.kf = new_kf
-            if len(self.graph.poses) % self.ocfg.optimize_every == 0:
+            closed = self.ocfg.loop_closure and self._loop_closure(new_kf)
+            if (not closed
+                    and len(self.graph.poses) % self.ocfg.optimize_every == 0):
                 self.graph.optimize()
                 self.pose = self.graph.poses[self.kf.index].copy()
         return self.pose
+
+    # ------------------------------------------------------------------
+    def _loop_closure(self, new_kf: _Keyframe) -> bool:
+        """Loop-closure detection + geometric verification (SURVEY.md §4.4).
+
+        Appearance candidate: every stored keyframe at least lc_min_gap
+        indices back is NCC-matched against the new keyframe (one MXU
+        matmul each, the same `match_descriptors` as tracking); the best
+        candidate with >= lc_min_matches mutual matches goes to geometric
+        verification — Huber-GN PnP of the old keyframe's 3D points onto
+        the new keyframe's pixels. A closure is accepted only if the mean
+        weighted reprojection residual passes lc_max_residual; the edge is
+        added and the whole graph re-optimised immediately, which is what
+        actually corrects accumulated drift."""
+        best = None
+        for old in self.kfs[:-1]:
+            if new_kf.index - old.index < self.ocfg.lc_min_gap:
+                continue
+            idx_b, good = match_descriptors(
+                jnp.asarray(old.desc), jnp.asarray(new_kf.desc),
+                jnp.asarray(old.valid), jnp.asarray(new_kf.valid),
+                min_similarity=self.ocfg.min_similarity)
+            idx_b, good = np.asarray(idx_b), np.asarray(good)
+            w = (good & old.valid).astype(np.float32)
+            n = int(w.sum())
+            if n >= self.ocfg.lc_min_matches and (best is None or n > best[0]):
+                best = (n, old, idx_b, w)
+        if best is None:
+            return False
+        n, old, idx_b, w = best
+        u = new_kf.pts[idx_b][:, ::-1].astype(np.float32)
+        T, res = gauss_newton_pose(jnp.asarray(old.X), jnp.asarray(u),
+                                   jnp.asarray(w), self._intr,
+                                   iters=self.ocfg.gn_iters)
+        if float(res) > self.ocfg.lc_max_residual:
+            return False
+        self.graph.add_edge(old.index, new_kf.index,
+                            np.asarray(inv_se3(T)),
+                            weight=min(2.0, n / 50.0))
+        self.closures.append((old.index, new_kf.index))
+        self.graph.optimize()
+        self.pose = self.graph.poses[new_kf.index].copy()
+        return True
 
     # ------------------------------------------------------------------
     def trajectory(self) -> np.ndarray:
@@ -156,7 +210,14 @@ class StereoOdometry:
             kf_index=np.int64(self.kf.index), kf_pts=self.kf.pts,
             kf_desc=self.kf.desc, kf_X=self.kf.X, kf_valid=self.kf.valid,
             cur_pose=self.pose, frames=np.int64(self._frames),
-            traj=self.trajectory()))
+            traj=self.trajectory(),
+            # keyframe database (loop closure must survive a resume)
+            kfs_index=np.array([k.index for k in self.kfs], np.int64),
+            kfs_pts=np.stack([k.pts for k in self.kfs]),
+            kfs_desc=np.stack([k.desc for k in self.kfs]),
+            kfs_X=np.stack([k.X for k in self.kfs]),
+            kfs_valid=np.stack([k.valid for k in self.kfs]),
+            closures=np.array(self.closures, np.int64).reshape(-1, 2)))
 
     @classmethod
     def resume(cls, path: str, calib: KittiCalib, cfg: Optional[Config] = None,
@@ -166,6 +227,16 @@ class StereoOdometry:
         self.graph = graph
         self.kf = _Keyframe(int(extra["kf_index"]), extra["kf_pts"],
                             extra["kf_desc"], extra["kf_X"], extra["kf_valid"])
+        if "kfs_index" in extra:
+            self.kfs = [
+                _Keyframe(int(i), p, d, X, v)
+                for i, p, d, X, v in zip(
+                    extra["kfs_index"], extra["kfs_pts"], extra["kfs_desc"],
+                    extra["kfs_X"], extra["kfs_valid"])]
+            self.kf = self.kfs[-1]
+            self.closures = [(int(a), int(b)) for a, b in extra["closures"]]
+        else:  # pre-loop-closure checkpoint: only the latest keyframe
+            self.kfs = [self.kf]
         self.pose = extra["cur_pose"]
         self._frames = int(extra["frames"])
         self._traj = [p for p in extra["traj"]]
