@@ -169,17 +169,26 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     its predecessor row only through q = L - min_d L, so seeding with a
     neighbour strip's final q continues the path bit-exactly.
 
-    rows_per_step: scanlines per grid step (clamped to a divisor of T);
-    0 picks a VMEM-safe default — 8 when only C streams, 4 when S_in
-    doubles the streamed bytes (at KITTI N=1280 the larger slab set plus
-    double buffering must stay well under the ~16 MB VMEM budget).
+    rows_per_step: upper bound on scanlines per grid step (0 = 8 C-only /
+    4 with S_in); the actual R is clamped to a divisor of T AND to what the
+    ~16 MB VMEM budget admits — double-buffered C/S_in/out slabs scale with
+    R*N, so wide volumes (true Middlebury W~3000, or tall transposed
+    layouts) must take smaller steps than KITTI-size ones.
     """
     T, N, D = C.shape
     K = len(dxs)
     assert D % 128 == 0 and N % 8 == 0, (N, D)
     if rows_per_step <= 0:
         rows_per_step = 4 if S_in is not None else 8
-    R = _fit_rows(T, rows_per_step)
+    # VMEM budget: 2x-buffered per-row slabs + the (K, N, D) carry scratch
+    # (+ optional init slab) must stay under ~12 MB of the ~16 MB VMEM.
+    per_row = N * D * (C.dtype.itemsize + (2 if S_in is not None else 0) + 2)
+    if p2_maps is not None:
+        per_row += 4 * N * K
+    fixed = 4 * K * N * D * (2 if init_carry is not None else 1)
+    budget = 12 * 1024 * 1024 - fixed
+    r_max = max(1, budget // max(1, 2 * per_row))
+    R = _fit_rows(T, min(rows_per_step, r_max))
     G = T // R
 
     def imap(g):
@@ -354,9 +363,19 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
     f32, so the result is bit-identical to the in-kernel float version).
     """
     T, N, D = Ct.shape
-    R = _fit_rows(T, rows_per_step)
-    if T % 128 or 128 % R:
-        R = 1  # output blocks are 128 columns; a step must stay inside one
+    # VMEM budget (see sgm_sweep): Ct + St slabs double-buffered + two
+    # (N, D) scratch slabs + the revisited (N, 128) output blocks
+    per_row = N * D * (Ct.dtype.itemsize + 2) + (4 * N if p2_maps is not None
+                                                 else 0)
+    fixed = 2 * 4 * N * D + 4 * 4 * N * 128
+    r_max = max(1, (12 * 1024 * 1024 - fixed) // max(1, 2 * per_row))
+    # output blocks are 128 columns: a step must stay inside one, so R is
+    # the largest power of two within budget (any power of two <= 128
+    # divides a T that is a multiple of 128)
+    R = 1
+    if T % 128 == 0:
+        while R * 2 <= min(rows_per_step, r_max, 128):
+            R *= 2
     G = T // R
     Wx = _round_up(T, 128)
 
