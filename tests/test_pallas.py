@@ -153,3 +153,18 @@ def test_census_cost_volume_pallas_two_planes(small_pair):
     pal = np.asarray(census_cost_volume_pallas(l8, r8, 32, 62, win,
                                                interpret=True))
     np.testing.assert_array_equal(ref, pal)
+
+
+def test_dr_consistency_pallas_bit_exact(rng):
+    from tpustereo.kernels import dr_consistency_pallas
+    from tpustereo.ops.postproc import dr_consistency
+    H, W, D = 40, 72, 32
+    for trial in range(3):
+        d_r = jnp.asarray(rng.integers(0, D, (H, W), dtype=np.int32))
+        disp = jnp.asarray(
+            rng.uniform(-0.5, D - 0.5, (H, W)).astype(np.float32))
+        for md in (0, 1, 2):
+            ref = np.asarray(dr_consistency(d_r, disp, D, md))
+            pal = np.asarray(dr_consistency_pallas(d_r, disp, D, md,
+                                                   interpret=True))
+            assert (ref == pal).all(), (trial, md)

@@ -188,12 +188,14 @@ def cmd_odometry(args) -> int:
             n_frames=n, shape=(96, 128), depth=8.0, fx=200.0, baseline=0.5,
             step_x=0.08, slant=0.35, seed=3)
 
+    from tpustereo.odometry import OdometryConfig
+    ocfg = OdometryConfig(loop_closure=not args.no_loop_closure)
     if args.resume and args.checkpoint:
-        odo = StereoOdometry.resume(args.checkpoint, calib, cfg)
+        odo = StereoOdometry.resume(args.checkpoint, calib, cfg, ocfg)
         start = odo._frames
         print(f"resumed at frame {start}", file=sys.stderr)
     else:
-        odo = StereoOdometry(calib, cfg)
+        odo = StereoOdometry(calib, cfg, ocfg)
         start = 0
 
     for i, (L, R) in enumerate(frames):
@@ -271,6 +273,8 @@ def main(argv=None) -> int:
     o.add_argument("--checkpoint", help="checkpoint .npz path (SURVEY.md §5.4)")
     o.add_argument("--checkpoint-every", type=int, default=5)
     o.add_argument("--resume", action="store_true")
+    o.add_argument("--no-loop-closure", action="store_true",
+                   help="disable loop-closure detection (drift correction)")
     o.set_defaults(fn=cmd_odometry)
 
     args = p.parse_args(argv)

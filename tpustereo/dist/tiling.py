@@ -218,8 +218,8 @@ def _sgbm_strip_fused(left_loc, right_loc, cfg: Config, n_real: int,
     rows -> strip-local d_L/d_R consistency. Identical math to the jnp
     halo branch (WTA and the LR re-index are row-local, so selecting on
     the extended strip then slicing equals slicing S then selecting)."""
-    from tpustereo.kernels import census_cost_volume_pallas, sgm_select_pallas
-    from tpustereo.ops.postproc import dr_consistency
+    from tpustereo.kernels import (census_cost_volume_pallas,
+                                   dr_consistency_pallas, sgm_select_pallas)
     ry = cfg.census_window[0] // 2
     h = _effective_halo(cfg, left_loc.shape[0], ry)
     ext_l = halo_exchange(left_loc, h)
@@ -237,8 +237,8 @@ def _sgbm_strip_fused(left_loc, right_loc, cfg: Config, n_real: int,
     sl = slice(h, disp_e.shape[0] - h)
     disp, valid, d_r = disp_e[sl], valid_e[sl], dr_e[sl]
     if cfg.disp12_max_diff >= 0:
-        valid &= dr_consistency(d_r, disp, cfg.num_disparities,
-                                cfg.disp12_max_diff)
+        valid &= dr_consistency_pallas(d_r, disp, cfg.num_disparities,
+                                       cfg.disp12_max_diff, interpret=interp)
     return disp, valid
 
 
@@ -291,10 +291,10 @@ def _sgbm_strip_exact_fused(left_loc, right_loc, cfg: Config, n_real: int,
     grid steps, see kernels.sgm_pallas). Identical math to
     `_aggregate_tiled_exact` + `wta`/`lr_check` (integer stages bit-exact;
     float subpixel to fp tolerance)."""
-    from tpustereo.kernels import census_cost_volume_pallas
+    from tpustereo.kernels import (census_cost_volume_pallas,
+                                   dr_consistency_pallas)
     from tpustereo.kernels.sgm_pallas import (_p2_stack, _round_up,
                                               sgm_sweep, sweep_bwd_wta)
-    from tpustereo.ops.postproc import dr_consistency
     from tpustereo.ops.sgm import p2_map
 
     ry = cfg.census_window[0] // 2
@@ -333,18 +333,17 @@ def _sgbm_strip_exact_fused(left_loc, right_loc, cfg: Config, n_real: int,
     St = transpose_hw_pallas(S, interpret=interp, trim=False)
     Tt, H8 = Ct.shape[0], Ct.shape[1]
     St = sgm_sweep(Ct, St, (0,), False, p1=cfg.p1, p2=cfg.p2, n_real=Hs,
-                   d_real=D, rows_per_step=16, interpret=interp,
+                   d_real=D, interpret=interp,
                    p2_maps=_p2_stack(left_loc, [(0, 1)], cfg, True, Tt, H8))
     p2b = _p2_stack(left_loc, [(0, -1)], cfg, True, Tt, H8)
     disp, valid, d_r = sweep_bwd_wta(Ct, St, cfg, w_real=W, d_real=D,
-                                     p2_maps=p2b, rows_per_step=16,
-                                     interpret=interp)
+                                     p2_maps=p2b, interpret=interp)
     disp = disp[:Hs, :W]
     valid = valid[:Hs, :W].astype(bool)
     d_r = d_r[:Hs, :W]
     if cfg.disp12_max_diff >= 0:
-        valid &= dr_consistency(d_r, disp, cfg.num_disparities,
-                                cfg.disp12_max_diff)
+        valid &= dr_consistency_pallas(d_r, disp, cfg.num_disparities,
+                                       cfg.disp12_max_diff, interpret=interp)
     return disp, valid
 
 

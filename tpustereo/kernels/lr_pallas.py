@@ -1,0 +1,78 @@
+"""d_L/d_R consistency check as a Pallas kernel (SURVEY.md §3 #7).
+
+The jnp `ops.postproc.dr_consistency` runs D static full-image shifts at the
+XLA level — correct, but each shift materialises an (H, W) concat and the
+whole pass costs ~2-3 ms at KITTI size, a visible slice of the frame once
+the SGM sweeps are kernelised. Here the same D-iteration select runs on an
+8-row VMEM slab, so each iteration is a handful of VPU ops on (8, Wq+D)
+registers: the shifted d_R lookup is a `pltpu.roll` over a frame whose left
+margin is D columns of BIG sentinel — a wrap can only deposit garbage into
+that margin (shift < D <= margin), never into real columns, so no per-d
+column masking is needed (the BIG sentinel also fails x - d < 0 lookups,
+exactly like the jnp version).
+
+Bit-exact vs `ops.postproc.dr_consistency` (same |d - d_R(x-d)| <= max_diff
+predicate, same out-of-image semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1 << 20
+_ROWS = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(dl_ref, dr_ref, out_ref, *, d_real, max_diff, d_off):
+    dl = dl_ref[...]                       # (R, d_off + Wq) int32
+    dr = dr_ref[...]
+    ok = jnp.zeros(dl.shape, jnp.int32)
+    for d in range(d_real):
+        shifted = pltpu.roll(dr, d, axis=1)          # [x] = dr[x - d]
+        hit = ((dl == d) & (shifted >= d - max_diff)
+               & (shifted <= d + max_diff))
+        ok = ok | hit.astype(jnp.int32)
+    out_ref[...] = ok
+
+
+def dr_consistency_pallas(d_r: jnp.ndarray, disp: jnp.ndarray, num_disp: int,
+                          max_diff: int, interpret: bool = False) -> jnp.ndarray:
+    """|d_L(x) - d_R(x - round(d_L(x)))| <= max_diff; (H, W) bool.
+
+    d_r int32, disp float32, both (H, W). Drop-in for the jnp
+    `dr_consistency` at min_disparity == 0 (the kernel-path precondition)."""
+    H, W = d_r.shape
+    Hp = _round_up(H, _ROWS)
+    d_off = _round_up(num_disp, 128)
+    Wq = _round_up(W, 128)
+    Wp = d_off + Wq
+
+    dl = jnp.round(disp).astype(jnp.int32)
+    # left margin: BIG sentinels (out-of-image lookups + roll wrap target);
+    # dl margin/padding = -1 matches no d, so padded columns emit 0
+    dlp = jnp.pad(dl, ((0, Hp - H), (d_off, Wq - W)), constant_values=-1)
+    drp = jnp.pad(d_r.astype(jnp.int32), ((0, Hp - H), (d_off, Wq - W)),
+                  constant_values=_BIG)
+
+    kernel = functools.partial(_kernel, d_real=min(num_disp, W),
+                               max_diff=max_diff, d_off=d_off)
+    spec = pl.BlockSpec((_ROWS, Wp), lambda g: (g, 0),
+                        memory_space=pltpu.VMEM)
+    ok = pl.pallas_call(
+        kernel,
+        grid=(Hp // _ROWS,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
+        interpret=interpret,
+    )(dlp, drp)
+    return ok[:H, d_off:d_off + W].astype(bool)

@@ -11,12 +11,13 @@ on-core loop.
 
 Layout (SURVEY.md §7 hard parts): D (disparity) rides the 128-lane minor
 dimension; the perpendicular image axis N fills sublanes; the scan axis T is
-the grid, fattened to R scanlines per grid step — blocks are (R, N, D) and
-the kernel walks the R lines serially in-register (ref[j] major-axis reads,
-which Mosaic handles exactly; single-sublane squeezed blocks over the middle
-axis are illegal, and unaligned sublane slicing is silently wrong — see the
-r1 census bug). Fattening amortises the per-step fixed cost (DMA issue +
-grid bookkeeping), which measured ~half the per-step time at KITTI size.
+the grid — (R, N, D) blocks with an in-kernel serial walk (ref[j]
+major-axis reads, which Mosaic handles exactly; single-sublane squeezed
+blocks over the middle axis are illegal, and unaligned sublane slicing is
+silently wrong — see the r1 census bug). R defaults to 1: the sweeps
+measured VPU-compute-bound on-chip (6.40/6.64/6.88 ms at R=1/4/8 for the
+KITTI 3-direction sweep), so fattening has no per-step overhead to
+amortise and only coarsens the DMA pipeline.
 A sweep processes every direction with the same scan-axis sign at once
 (e.g. S, SE, SW going down): diagonals differ only by an in-carry sublane
 shift dx, so they share the C slab load and the S accumulation. The four
@@ -169,8 +170,9 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     its predecessor row only through q = L - min_d L, so seeding with a
     neighbour strip's final q continues the path bit-exactly.
 
-    rows_per_step: upper bound on scanlines per grid step (0 = 8 C-only /
-    4 with S_in); the actual R is clamped to a divisor of T AND to what the
+    rows_per_step: upper bound on scanlines per grid step (0 = 1, the
+    measured-fastest setting — the sweeps are VPU-bound, so fattening
+    has no fixed cost to amortise); any explicit R is clamped to a divisor of T AND to what the
     ~16 MB VMEM budget admits — double-buffered C/S_in/out slabs scale with
     R*N, so wide volumes (true Middlebury W~3000, or tall transposed
     layouts) must take smaller steps than KITTI-size ones.
@@ -179,7 +181,12 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     K = len(dxs)
     assert D % 128 == 0 and N % 8 == 0, (N, D)
     if rows_per_step <= 0:
-        rows_per_step = 4 if S_in is not None else 8
+        # R=1 measured fastest on-chip for the wide vertical sweeps (6.40 ms
+        # vs 6.64 at R=4, 6.88 at R=8 for the KITTI 3-direction sweep): the
+        # kernels are VPU-compute-bound, so fattening only adds DMA
+        # granularity with nothing to amortise. Larger R remains available
+        # for experimentation; the VMEM budget below still caps it.
+        rows_per_step = 1
     # VMEM budget: 2x-buffered per-row slabs + the (K, N, D) carry scratch
     # (+ optional init slab) must stay under ~12 MB of the ~16 MB VMEM.
     per_row = N * D * (C.dtype.itemsize + (2 if S_in is not None else 0) + 2)
@@ -350,7 +357,7 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, d_real,
 def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
                   w_real: int, d_real: int,
                   p2_maps: jnp.ndarray | None = None,
-                  rows_per_step: int = 8,
+                  rows_per_step: int = 1,
                   interpret: bool = False):
     """Backward-horizontal sweep over Ct (W, N, D) + fused WTA.
 
@@ -472,14 +479,12 @@ def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     St = transpose_hw_pallas(S, interpret=interpret, trim=False)
     Tt, H8 = Ct.shape[0], Ct.shape[1]
     sweep_t = functools.partial(sgm_sweep, p1=cfg.p1, p2=cfg.p2, n_real=H,
-                                d_real=D, rows_per_step=16,
-                                interpret=interpret)
+                                d_real=D, interpret=interpret)
     St = sweep_t(Ct, St, (0,), False,
                  p2_maps=_p2_stack(img, [(0, 1)], cfg, True, Tt, H8))
     p2b = _p2_stack(img, [(0, -1)], cfg, True, Tt, H8)
     disp, valid, d_r = sweep_bwd_wta(Ct, St, cfg, w_real=W, d_real=D,
-                                     p2_maps=p2b, rows_per_step=16,
-                                     interpret=interpret)
+                                     p2_maps=p2b, interpret=interpret)
     return (disp[:H, :W], valid[:H, :W].astype(bool), d_r[:H, :W])
 
 
@@ -538,7 +543,7 @@ def aggregate_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     St = transpose_hw_pallas(S, interpret=interpret, trim=False)
     Tt, H8 = Ct.shape[0], Ct.shape[1]
     sweep_t = functools.partial(sgm_sweep, p1=p1, p2=p2, n_real=H, d_real=D,
-                                rows_per_step=16, interpret=interpret)
+                                interpret=interpret)
     St = sweep_t(Ct, St, (0,), False,
                  p2_maps=_p2_stack(img, [(0, 1)], cfg, True, Tt, H8))
     St = sweep_t(Ct, St, (0,), True,

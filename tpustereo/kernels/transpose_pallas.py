@@ -27,19 +27,20 @@ def _kernel(in_ref, out_ref):
 
 
 def transpose_hw_pallas(x: jnp.ndarray, interpret: bool = False,
-                        trim: bool = True) -> jnp.ndarray:
+                        trim: bool = True, th: int = _TH) -> jnp.ndarray:
     """x: (H, W, D) -> (W, H, D); D a multiple of 128. Pads internally for
     arbitrary H, W; trim=False keeps the zero padding (Wp, Hp, D) — the
-    sweep kernels want padded operands anyway."""
+    sweep kernels want padded operands anyway. th: rows per tile (the
+    sublane granularity of the shuffle; exposed for on-chip tuning)."""
     H, W, D = x.shape
-    Hp, Wp = _round_up(H, _TH), _round_up(W, _TW)
+    Hp, Wp = _round_up(H, th), _round_up(W, _TW)
     xp = jnp.pad(x, ((0, Hp - H), (0, Wp - W), (0, 0)))
     out = pl.pallas_call(
         _kernel,
-        grid=(Hp // _TH, Wp // _TW),
-        in_specs=[pl.BlockSpec((_TH, _TW, D), lambda i, j: (i, j, 0),
+        grid=(Hp // th, Wp // _TW),
+        in_specs=[pl.BlockSpec((th, _TW, D), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((_TW, _TH, D), lambda i, j: (j, i, 0),
+        out_specs=pl.BlockSpec((_TW, th, D), lambda i, j: (j, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Wp, Hp, D), x.dtype),
         interpret=interpret,

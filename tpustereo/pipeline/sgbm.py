@@ -92,8 +92,9 @@ def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
         # completed S volume ever round-tripping HBM; the cost kernel emits
         # the sweep-ready padded frame (padded=True) so the volume is never
         # sliced/re-padded either
-        from tpustereo.kernels import census_cost_volume_pallas, sgm_select_pallas
-        from tpustereo.ops.postproc import dr_consistency
+        from tpustereo.kernels import (census_cost_volume_pallas,
+                                       dr_consistency_pallas,
+                                       sgm_select_pallas)
         interp = mode == "interpret"
         H, W = left.shape
         with jax.named_scope("cost_volume"):
@@ -106,8 +107,10 @@ def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
                 dims=(H, W, cfg.num_disparities))
         with jax.named_scope("postproc"):
             if cfg.disp12_max_diff >= 0:
-                valid &= dr_consistency(d_r, disp, cfg.num_disparities,
-                                        cfg.disp12_max_diff)
+                valid &= dr_consistency_pallas(d_r, disp,
+                                               cfg.num_disparities,
+                                               cfg.disp12_max_diff,
+                                               interpret=interp)
             return _postproc(disp, valid, cfg)
     with jax.named_scope("sgbm_volume"):
         S = sgbm_volume(left, right, cfg)
