@@ -321,12 +321,21 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, d_real,
             # only the parabola deltas leave the kernel; the float math runs
             # once over the (H, W) maps outside (the ~10 float ops per step
             # on lane-padded (N, 1) columns cost a full slab op each in
-            # Mosaic)
-            dm = jnp.maximum(d_int - 1, 0)
-            dp = jnp.minimum(d_int + 1, d_real - 1)
-            sm = _min_lanes_full(jnp.where(lane == dm, S, _BIGPACK * 256))[:, :1]
-            sp = _min_lanes_full(jnp.where(lane == dp, S, _BIGPACK * 256))[:, :1]
-            deltas = (sm - best) * 4096 + (sp - best)
+            # Mosaic). Both neighbours ride ONE packed roll-tree: lane d of
+            # A/B holds S[d-1]/S[d+1], only lane d_int is unmasked, so the
+            # lexicographic min IS the (S[dm], S[dp]) pair — a second tree
+            # (the old per-neighbour masked reduce) is redundant. At the
+            # search edge the rolls wrap; `interior` masking in the decode
+            # discards those, and the caps keep the pack from overflowing
+            # (real-column deltas are < 4096 by S_max < _BIGPACK there).
+            A = _roll(S, 1, axis=1)    # lane d: S[d-1]
+            B = _roll(S, -1, axis=1)   # lane d: S[d+1]
+            cap = best + 4095
+            pk = jnp.where(lane == d_int,
+                           jnp.minimum(A, cap) * 4096 + jnp.minimum(B, cap),
+                           1 << 30)
+            m2 = _min_lanes_full(pk)[:, :1]
+            deltas = m2 - best * 4097   # == (sm-best)*4096 + (sp-best)
         else:
             deltas = jnp.zeros((N, 1), jnp.int32)
 
