@@ -90,8 +90,7 @@ def stage_times(left, right, cfg: Config, iters: int = 5) -> Dict[str, float]:
         ms["cost_volume"] = _timed_device_loop(vol, cl, cr, iters=n) * 1e3
     if mode != "off" and cfg.mode == "sgm":
         # profile the stages the fused pipeline actually runs
-        from tpustereo.kernels import sgm_select_pallas
-        from tpustereo.ops.postproc import dr_consistency
+        from tpustereo.kernels import dr_consistency_pallas, sgm_select_pallas
         interp = mode == "interpret"
         sel = partial(sgm_select_pallas, cfg=cfg, img=l8, interpret=interp)
         disp, valid, d_r = jax.jit(sel)(C)
@@ -99,8 +98,10 @@ def stage_times(left, right, cfg: Config, iters: int = 5) -> Dict[str, float]:
             sel, C, iters=n) * 1e3
         if cfg.disp12_max_diff >= 0:
             ms["dr_consistency"] = _timed_device_loop(
-                lambda dr: dr_consistency(dr, disp, cfg.num_disparities,
-                                          cfg.disp12_max_diff),
+                lambda dr: dr_consistency_pallas(dr, disp,
+                                                 cfg.num_disparities,
+                                                 cfg.disp12_max_diff,
+                                                 interpret=interp),
                 d_r, iters=n) * 1e3
     else:
         agg = partial(aggregate, cfg=cfg, img=l8)
@@ -114,7 +115,13 @@ def stage_times(left, right, cfg: Config, iters: int = 5) -> Dict[str, float]:
 
     ms["speckle"] = _timed_device_loop(
         lambda d: speckle(d, valid, cfg), disp, iters=n) * 1e3
-    ms["median3"] = _timed_device_loop(median3, disp, iters=n) * 1e3
+    if mode != "off":  # the executed path's median is the Pallas kernel
+        from tpustereo.kernels import median3_pallas
+        ms["median3"] = _timed_device_loop(
+            partial(median3_pallas, interpret=(mode == "interpret")),
+            disp, iters=n) * 1e3
+    else:
+        ms["median3"] = _timed_device_loop(median3, disp, iters=n) * 1e3
     return {k: round(v, 3) for k, v in ms.items()}
 
 
