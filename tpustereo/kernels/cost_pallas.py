@@ -86,21 +86,23 @@ def _shear_down(slab: jnp.ndarray, lane: jnp.ndarray) -> jnp.ndarray:
 def _kernel(*refs, n_dy, rx, d_real, max_cost, w_real, h_real, align):
     l_refs = refs[:n_dy]
     r_refs = refs[n_dy:2 * n_dy]
-    out_ref = refs[2 * n_dy]
+    oob_ref = refs[2 * n_dy]
+    out_ref = refs[2 * n_dy + 1]
     cl = _census_from_shifts([r[0] for r in l_refs], rx)   # plane list
     cr = _census_from_shifts([r[0] for r in r_refs], rx)
 
     R, Wq = cl[0].shape
     D = out_ref.shape[2]
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, Wq, D), 2)
-    col = jax.lax.broadcasted_iota(jnp.int32, (R, Wq, D), 1) - rx  # real x
     pc = None
     for clp, crp in zip(cl, cr):
         crs = _shear_down(jnp.broadcast_to(crp[..., None], (R, Wq, D)), lane)
         p = _popcount32(clp[..., None] ^ crs)
         pc = p if pc is None else pc + p
-    pc = jnp.where((col - lane < 0) | (lane >= d_real) | (col >= w_real),
-                   max_cost, pc)
+    # out-of-search mask (x-d < 0 | d >= D | x >= W): a fixed (col, lane)
+    # pattern, precomputed once at the jnp level — rebuilding it per step
+    # from two (R, Wq, D) iotas + 3 compares cost ~25% of the kernel
+    pc = jnp.where(oob_ref[0] != 0, max_cost, pc)
     if align:
         # aligned/padded emission: real col x on lane x (one sublane roll,
         # vs a full-volume lane-shift relayout pass after the kernel), and
@@ -109,9 +111,17 @@ def _kernel(*refs, n_dy, rx, d_real, max_cost, w_real, h_real, align):
         # entering from the padding are exact (see dist.tiling)
         pc = pltpu.roll(pc, (Wq - rx) % Wq, axis=1)
         t = pl.program_id(0)
-        row = t * R + jax.lax.broadcasted_iota(jnp.int32, (R, Wq, D), 0)
-        pc = jnp.where(row >= h_real, 0, pc)
-    out_ref[...] = pc.astype(jnp.uint8)
+        last = (h_real - 1) // R
+        @pl.when(t >= last)  # only blocks holding padded rows pay the mask
+        def _zero_pad_rows():
+            row = t * R + jax.lax.broadcasted_iota(jnp.int32, (R, Wq, D), 0)
+            out_ref[...] = jnp.where(row >= h_real, 0,
+                                     pc).astype(jnp.uint8)
+        @pl.when(t < last)
+        def _plain():
+            out_ref[...] = pc.astype(jnp.uint8)
+    else:
+        out_ref[...] = pc.astype(jnp.uint8)
 
 
 def census_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
@@ -147,7 +157,13 @@ def census_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
         return [p[ry + dy: ry + dy + Hp].reshape(G, _ROWS, Wq)
                 for dy in range(-ry, ry + 1)]
 
-    operands = prep(left) + prep(right)
+    import numpy as _np
+    lane = _np.arange(Dp)[None, :]
+    col = _np.arange(Wq)[:, None] - rx           # real image column
+    oob = ((col - lane < 0) | (lane >= num_disp)
+           | (col >= W)).astype(_np.int32)[None]
+
+    operands = prep(left) + prep(right) + [jnp.asarray(oob)]
     n_dy = 2 * ry + 1
     spec = pl.BlockSpec((1, _ROWS, Wq), lambda t: (t, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -157,7 +173,9 @@ def census_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
     C = pl.pallas_call(
         kernel,
         grid=(G,),
-        in_specs=[spec] * (2 * n_dy),
+        in_specs=[spec] * (2 * n_dy) + [
+            pl.BlockSpec((1, Wq, Dp), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((_ROWS, Wq, Dp), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Hp, Wq, Dp), jnp.uint8),
