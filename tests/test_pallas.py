@@ -168,3 +168,19 @@ def test_dr_consistency_pallas_bit_exact(rng):
             pal = np.asarray(dr_consistency_pallas(d_r, disp, D, md,
                                                    interpret=True))
             assert (ref == pal).all(), (trial, md)
+
+
+def test_cc_banded_matches_whole(rng):
+    # banded mode (oversized-image path): per-band in-VMEM CC + jnp
+    # refinement must equal the jnp labels exactly, including components
+    # snaking across several band boundaries
+    from tpustereo.kernels.cc_pallas import connected_component_labels_pallas
+    from tpustereo.ops.postproc import connected_component_labels
+    v = rng.random((48, 64)) < 0.55
+    v[:, 5] = True  # one tall component crossing every band
+    conn_h = jnp.asarray(v[:, :-1] & v[:, 1:])
+    conn_v = jnp.asarray(v[:-1, :] & v[1:, :])
+    ref = np.asarray(connected_component_labels(conn_h, conn_v))
+    banded = np.asarray(connected_component_labels_pallas(
+        conn_h, conn_v, interpret=True, band_rows=16))
+    assert (ref == banded).all()

@@ -60,11 +60,20 @@ def _seg_scan(v, conn, idx, axis: int, size: int, reverse: bool):
     return v
 
 
-def _cc_kernel(ch_ref, cv_ref, lab_ref, *, H: int, W: int, max_iters: int):
+def _cc_kernel(ch_ref, cv_ref, lab_ref, *, H: int, W: int, max_iters: int,
+               banded: bool = False):
     ch = ch_ref[...]
     cv = cv_ref[...]
     lane = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    if banded:
+        # per-band pass of the banded mode: labels are GLOBAL linear
+        # indices, and the band's last conn_v row (the edge to the next
+        # band) is masked off — cross-band merges happen in the jnp
+        # refinement (ops.postproc.connected_component_labels init_labels)
+        row = row + pl.program_id(0) * H
+        cv = jnp.where(jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+                       == H - 1, 0, cv)
     lab0 = row * W + lane
 
     def cond(c):
@@ -99,30 +108,60 @@ def cc_pallas_fits(H: int, W: int) -> bool:
 
 def connected_component_labels_pallas(conn_h: jnp.ndarray,
                                       conn_v: jnp.ndarray,
-                                      interpret: bool = False) -> jnp.ndarray:
+                                      interpret: bool = False,
+                                      band_rows: int | None = None) -> jnp.ndarray:
     """Drop-in for `ops.postproc.connected_component_labels`:
     conn_h (H, W-1), conn_v (H-1, W) bool -> (H, W) int32 min-linear-index
-    labels (stride W)."""
+    labels (stride W).
+
+    Images too large for one in-VMEM pass (cc_pallas_fits False, e.g. true
+    Middlebury geometry) run BANDED: each row band converges independently
+    in VMEM with global linear-index labels and cross-band conn_v masked,
+    then the jnp scan refinement finishes from that init — exact, because
+    min-propagation converges to the per-component min of the initial
+    labels, and each band-component's min is already a member of the global
+    component (see ops.postproc.connected_component_labels). The expensive
+    O(rounds) work happens in VMEM; the refinement typically needs only the
+    few cross-band merge rounds.
+    """
     H = conn_v.shape[0] + 1
     W = conn_h.shape[1] + 1
     Hp = _round_up(H, 8)
     Wq = _round_up(W, 128)
+
+    if band_rows is not None:  # testing override
+        Hb, banded = band_rows, True
+        Hp = _round_up(Hp, Hb)
+    elif cc_pallas_fits(H, W):
+        Hb, banded = Hp, False
+    else:
+        # largest 8-multiple band height whose 4 slabs fit scoped VMEM
+        Hb = max(8, (14 * 2 ** 20 // (16 * Wq)) // 8 * 8)
+        Hp = _round_up(Hp, Hb)
+        banded = True
+
     ch = jnp.zeros((Hp, Wq), jnp.int32).at[:H, :W - 1].set(
         conn_h.astype(jnp.int32))
     cv = jnp.zeros((Hp, Wq), jnp.int32).at[:H - 1, :W].set(
         conn_v.astype(jnp.int32))
 
-    # Hp*Wq is the provably safe iteration bound (see the jnp fallback);
+    # Hb*Wq is the provably safe iteration bound (see the jnp fallback);
     # the in-kernel convergence check exits typical images in <10 rounds.
-    kernel = functools.partial(_cc_kernel, H=Hp, W=Wq,
-                               max_iters=Hp * Wq)
+    kernel = functools.partial(_cc_kernel, H=Hb, W=Wq,
+                               max_iters=Hb * Wq, banded=banded)
+    spec = pl.BlockSpec((Hb, Wq), lambda b: (b, 0),
+                        memory_space=pltpu.VMEM)
     lab = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(Hp // Hb,),
+        in_specs=[spec, spec],
+        out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((Hp, Wq), jnp.int32),
         interpret=interpret,
     )(ch, cv)[:H, :W]
     # stride conversion Wq -> W (same argmin pixel: lexicographic order)
-    return (lab // Wq) * W + (lab % Wq)
+    lab = (lab // Wq) * W + (lab % Wq)
+    if banded:
+        from tpustereo.ops.postproc import connected_component_labels
+        lab = connected_component_labels(conn_h, conn_v, init_labels=lab)
+    return lab

@@ -116,11 +116,18 @@ def _segmented_min_scan(lab: jnp.ndarray, conn: jnp.ndarray, axis: int,
 
 
 def connected_component_labels(conn_h: jnp.ndarray, conn_v: jnp.ndarray,
-                               max_iters: int | None = None) -> jnp.ndarray:
+                               max_iters: int | None = None,
+                               init_labels: jnp.ndarray | None = None) -> jnp.ndarray:
     """Label 4-connected components given edge-connectivity masks.
 
     conn_h: (H, W-1) bool, pixel (y,x)~(y,x+1); conn_v: (H-1, W) bool.
     Returns (H, W) int32: min linear index within each component.
+
+    init_labels: optional starting labelling. Min-propagation converges to
+    the per-component minimum of the INITIAL labels, so any labelling whose
+    component-min equals the component's min linear index yields the exact
+    result — e.g. per-band converged labels (kernels.cc_pallas banded mode),
+    which cut the remaining rounds to the few cross-band merges.
     """
     H = conn_v.shape[0] + 1
     W = conn_h.shape[1] + 1
@@ -129,7 +136,10 @@ def connected_component_labels(conn_h: jnp.ndarray, conn_v: jnp.ndarray,
     # inside shard_map (unvarying constants would mismatch); outside
     # shard_map it is a plain zero.
     anchor = conn_h.astype(jnp.int32).max() * 0
-    init = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W) + anchor
+    if init_labels is not None:
+        init = init_labels.astype(jnp.int32) + anchor
+    else:
+        init = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W) + anchor
     if max_iters is None:
         # provably safe bound: min-label propagation strictly decreases the
         # label sum on any change, so it converges within H*W rounds; the
@@ -218,8 +228,8 @@ def speckle(disp: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     conn_v = valid[:-1, :] & valid[1:, :] & (jnp.abs(disp[:-1, :] - disp[1:, :]) <= rng)
     from tpustereo.utils.backend import pallas_mode
     mode = pallas_mode(cfg)
-    from tpustereo.kernels.cc_pallas import cc_pallas_fits
-    if mode != "off" and cc_pallas_fits(*disp.shape):
+    if mode != "off":
+        # handles oversized images itself (banded bands + jnp refinement)
         from tpustereo.kernels import connected_component_labels_pallas
         lab = connected_component_labels_pallas(
             conn_h, conn_v, interpret=(mode == "interpret"))
