@@ -135,8 +135,12 @@ def connected_component_labels_pallas(conn_h: jnp.ndarray,
     elif cc_pallas_fits(H, W):
         Hb, banded = Hp, False
     else:
-        # largest 8-multiple band height whose 4 slabs fit scoped VMEM
-        Hb = max(8, (14 * 2 ** 20 // (16 * Wq)) // 8 * 8)
+        # largest 8-multiple band height that fits scoped VMEM: with a grid,
+        # Pallas double-buffers the two inputs and the output (6 block
+        # buffers) on top of ~4 live in-kernel slabs (lab + scan temps) —
+        # ~40 bytes per element, not 16 (measured: the 16x estimate OOM'd
+        # at 25.2 MB for 592-row bands at Wq=1536)
+        Hb = max(8, (13 * 2 ** 20 // (40 * Wq)) // 8 * 8)
         Hp = _round_up(Hp, Hb)
         banded = True
 
