@@ -39,6 +39,7 @@ class OdometryConfig:
     lc_min_gap: int = 6        # keyframe-index gap before a pair is eligible
     lc_min_matches: int = 30   # tentative mutual matches to attempt PnP
     lc_max_residual: float = 2.0  # px; geometric-verification gate
+    lc_max_candidates: int = 100  # cap on appearance checks per keyframe
 
 
 @dataclasses.dataclass
@@ -169,10 +170,16 @@ class StereoOdometry:
         weighted reprojection residual passes lc_max_residual; the edge is
         added and the whole graph re-optimised immediately, which is what
         actually corrects accumulated drift."""
+        elig = [old for old in self.kfs[:-1]
+                if new_kf.index - old.index >= self.ocfg.lc_min_gap]
+        if len(elig) > self.ocfg.lc_max_candidates:
+            # evenly stride-sample so the check stays O(cap) per keyframe on
+            # arbitrarily long sequences while still spanning the whole past
+            step = len(elig) / self.ocfg.lc_max_candidates
+            elig = [elig[int(i * step)]
+                    for i in range(self.ocfg.lc_max_candidates)]
         best = None
-        for old in self.kfs[:-1]:
-            if new_kf.index - old.index < self.ocfg.lc_min_gap:
-                continue
+        for old in elig:
             idx_b, good = match_descriptors(
                 jnp.asarray(old.desc), jnp.asarray(new_kf.desc),
                 jnp.asarray(old.valid), jnp.asarray(new_kf.valid),
