@@ -240,3 +240,17 @@ def test_api_accepts_rgb_and_float(pair):
     d1 = match_pair(rgb, np.stack([R, R, R], -1), CFG)
     d2 = match_pair(L, R, CFG)
     assert d1.shape == d2.shape
+
+
+@pytest.mark.parametrize("lr", [-1, 1])
+def test_census_wta_fused_frame_parity(pair, lr):
+    # the fused census_wta pipeline (WTA kernel reading the padded uint8
+    # cost frame) must match the jnp path bit-for-bit, with and without LR
+    L, R, _, _ = pair
+    cfg = Config(mode="census_wta", num_disparities=16, disp12_max_diff=lr,
+                 speckle_window_size=0, median_filter=False)
+    ref = np.asarray(sgbm(jnp.asarray(L), jnp.asarray(R),
+                          cfg.replace(backend="jnp")))
+    pal = np.asarray(sgbm(jnp.asarray(L), jnp.asarray(R),
+                          cfg.replace(backend="pallas")))
+    assert (ref == pal).all()

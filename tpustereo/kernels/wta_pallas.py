@@ -118,33 +118,48 @@ def _kernel(s_ref, disp_ref, valid_ref, *, cfg: Config, w_real: int,
     valid_ref[0] = valid[..., 0].astype(jnp.int32)
 
 
-def wta_lr_pallas(S: jnp.ndarray, cfg: Config, interpret: bool = False):
+def wta_lr_pallas(S: jnp.ndarray, cfg: Config, interpret: bool = False,
+                  dims=None):
     """S: (H, W, D) int -> (disp float32 (H, W), valid bool (H, W)).
 
     Fuses `ops.wta` and `ops.lr_check` (bit-exact vs both); one pass over S.
-    """
-    H, W, D = S.shape
-    Dp = _round_up(D, 128)
-    Wp = _round_up(W, 16)
-    Hp = _round_up(H, _ROWS)
-    Sp = jnp.pad(S.astype(jnp.int16),
-                 ((0, Hp - H), (0, Wp - W), (0, Dp - D)))
 
+    dims=(H, W, D): S is the padded uint8 frame straight from
+    census_cost_volume_pallas(padded=True). At Middlebury geometry the
+    slice + int16 cast + re-pad of the volume were three full-volume
+    relayout passes that dominated the census_wta pipeline; the kernel
+    reads the frame directly instead (safe: census costs <= 64 < 128, so
+    the Mosaic unsigned-widening hazard cannot trigger, and the shears'
+    w_real masks already cover arbitrary column padding).
+    """
+    if dims is None:
+        H, W, D = S.shape
+        Dp = _round_up(D, 128)
+        Wp = _round_up(W, 16)
+        Hp = _round_up(H, _ROWS)
+        Sp = jnp.pad(S.astype(jnp.int16),
+                     ((0, Hp - H), (0, Wp - W), (0, Dp - D)))
+    else:
+        H, W, D = dims
+        Hp, Wp, Dp = S.shape
+        Sp = S
+
+    rows = _ROWS if Wp <= 2048 else 1   # int32 shear temps scale with R*Wp
     kernel = functools.partial(_kernel, cfg=cfg, w_real=W, d_real=D)
-    G = Hp // _ROWS
+    G = Hp // rows
     # outputs are (G, R, Wp) so the block's trailing dims (R, Wp) equal the
     # array dims (Mosaic's tiling rule); reshaped to (Hp, Wp) after.
     disp, valid = pl.pallas_call(
         kernel,
         grid=(G,),
-        in_specs=[pl.BlockSpec((_ROWS, Wp, Dp), lambda t: (t, 0, 0),
+        in_specs=[pl.BlockSpec((rows, Wp, Dp), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((1, _ROWS, Wp), lambda t: (t, 0, 0),
+        out_specs=(pl.BlockSpec((1, rows, Wp), lambda t: (t, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, _ROWS, Wp), lambda t: (t, 0, 0),
+                   pl.BlockSpec((1, rows, Wp), lambda t: (t, 0, 0),
                                 memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((G, _ROWS, Wp), jnp.float32),
-                   jax.ShapeDtypeStruct((G, _ROWS, Wp), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((G, rows, Wp), jnp.float32),
+                   jax.ShapeDtypeStruct((G, rows, Wp), jnp.int32)),
         interpret=interpret,
     )(Sp)
     disp = disp.reshape(Hp, Wp)

@@ -82,6 +82,20 @@ def _postproc(disp, valid, cfg: Config):
 def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """Single-pair pipeline: (H, W) uint8 ×2 -> (H, W) float32 disparity."""
     mode = _pallas_mode(cfg)
+    if (cfg.mode == "census_wta" and mode != "off" and cfg.census_bits <= 64
+            and cfg.num_disparities <= 128 and cfg.min_disparity == 0):
+        # fused census_wta path: the WTA kernel reads the padded uint8 cost
+        # frame directly — the slice + int16 cast + re-pad it replaces were
+        # three full-volume relayout passes (dominant at Middlebury size)
+        from tpustereo.kernels import census_cost_volume_pallas, wta_lr_pallas
+        interp = mode == "interpret"
+        H, W = left.shape
+        C = census_cost_volume_pallas(left, right, cfg.num_disparities,
+                                      cfg.max_census_cost, cfg.census_window,
+                                      interpret=interp, padded=True)
+        disp, valid = wta_lr_pallas(C, cfg, interpret=interp,
+                                    dims=(H, W, cfg.num_disparities))
+        return _postproc(disp, valid, cfg)
     # kernel preconditions: census fits two uint32 planes; the packed-argmin
     # and log-shear tricks assume D <= 128 lanes; the 12-bit parabola-delta
     # packing assumes S_max = paths*(C_max+P2) < 4096
