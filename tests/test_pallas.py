@@ -184,3 +184,25 @@ def test_cc_banded_matches_whole(rng):
     banded = np.asarray(connected_component_labels_pallas(
         conn_h, conn_v, interpret=True, band_rows=16))
     assert (ref == banded).all()
+
+
+def test_cc_banded_serpentine_multicycle(rng):
+    # worst case for the alternating-offset banded scheme: one serpentine
+    # component whose min label must zig-zag through every band boundary
+    # several times before the outer cycle converges
+    from tpustereo.kernels.cc_pallas import connected_component_labels_pallas
+    from tpustereo.ops.postproc import connected_component_labels
+    H, W = 64, 32
+    v = np.zeros((H, W), bool)
+    for k in range(H // 8):  # horizontal rungs every 8 rows
+        v[k * 8, :] = True
+        col = W - 1 if k % 2 == 0 else 0  # alternating side connectors
+        v[k * 8:min(H, (k + 1) * 8) + 1, col] = True
+    v[-1, :] = True
+    conn_h = jnp.asarray(v[:, :-1] & v[:, 1:])
+    conn_v = jnp.asarray(v[:-1, :] & v[1:, :])
+    ref = np.asarray(connected_component_labels(conn_h, conn_v))
+    banded = np.asarray(connected_component_labels_pallas(
+        conn_h, conn_v, interpret=True, band_rows=8))
+    assert (ref == banded).all()
+    assert np.unique(banded[v]).size == 1
