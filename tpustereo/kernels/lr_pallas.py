@@ -3,8 +3,8 @@
 The jnp `ops.postproc.dr_consistency` runs D static full-image shifts at the
 XLA level — correct, but each shift materialises an (H, W) concat and the
 whole pass costs ~2-3 ms at KITTI size, a visible slice of the frame once
-the SGM sweeps are kernelised. Here the same D-iteration select runs on an
-8-row VMEM slab, so each iteration is a handful of VPU ops on (8, Wq+D)
+the SGM sweeps are kernelised. Here the same D-iteration select runs on a
+64-row VMEM slab, so each iteration is 3 VPU ops on (64, Wq+D)
 registers: the shifted d_R lookup is a `pltpu.roll` over a frame whose left
 margin is D columns of BIG sentinel — a wrap can only deposit garbage into
 that margin (shift < D <= margin), never into real columns, so no per-d
@@ -25,7 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1 << 20
-_ROWS = 8
+_ROWS = 64
 
 
 def _round_up(x: int, m: int) -> int:
@@ -34,14 +34,20 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(dl_ref, dr_ref, out_ref, *, d_real, max_diff, d_off):
     dl = dl_ref[...]                       # (R, d_off + Wq) int32
-    dr = dr_ref[...]
-    ok = jnp.zeros(dl.shape, jnp.int32)
+    # the D iterations are inherent (a destination-dependent variable lane
+    # shift has no log-depth roll form — rolled partials carry the wrong
+    # element's shift state), so minimise ops per iteration instead: one
+    # incremental roll + one select materialises d_R(x - d_L(x)), and the
+    # |d_L - ·| <= max_diff predicate runs ONCE at the end (3 slab ops/iter
+    # vs 6 for the per-d three-compare form). Padded dl = -1 matches no d,
+    # so padding emits 0 via |−1 − BIG| > max_diff.
+    cur = dr_ref[...]
+    res = jnp.full(dl.shape, _BIG, jnp.int32)
     for d in range(d_real):
-        shifted = pltpu.roll(dr, d, axis=1)          # [x] = dr[x - d]
-        hit = ((dl == d) & (shifted >= d - max_diff)
-               & (shifted <= d + max_diff))
-        ok = ok | hit.astype(jnp.int32)
-    out_ref[...] = ok
+        if d:
+            cur = pltpu.roll(cur, 1, axis=1)         # [x] = dr[x - d]
+        res = jnp.where(dl == d, cur, res)
+    out_ref[...] = (jnp.abs(dl - res) <= max_diff).astype(jnp.int32)
 
 
 def dr_consistency_pallas(d_r: jnp.ndarray, disp: jnp.ndarray, num_disp: int,
