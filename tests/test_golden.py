@@ -124,6 +124,28 @@ def test_median3():
     assert median3_numpy(x)[2, 2] == 0.0
 
 
+def test_fill_background_crafted():
+    from tpustereo.golden.sgbm_numpy import fill_background_numpy
+    d = np.full((3, 6), -1.0, np.float32)
+    d[0] = [5, -1, -1, 3, -1, -1]   # gap takes min(5,3)=3; tail holds 3
+    d[1] = [-1, -1, 7, -1, -1, -1]  # leading gap holds 7
+    out = fill_background_numpy(d)
+    assert out[0].tolist() == [5, 3, 3, 3, 3, 3]
+    assert out[1].tolist() == [7, 7, 7, 7, 7, 7]
+    assert (out[2] == -1).all()  # no valid pixel in the row -> stays invalid
+
+
+def test_fill_background_jnp_matches_golden(rng):
+    import jax.numpy as jnp
+    from tpustereo.golden.sgbm_numpy import fill_background_numpy
+    from tpustereo.ops import fill_background
+    d = rng.uniform(0, 60, (23, 37)).astype(np.float32)
+    d[rng.random((23, 37)) < 0.4] = -1.0
+    ref = fill_background_numpy(d)
+    out = np.asarray(fill_background(jnp.asarray(d)))
+    np.testing.assert_array_equal(ref, out)
+
+
 def test_sad_const_pair(const_pair):
     L, R, gt, m = const_pair
     cfg = Config(mode="sad", num_disparities=16, sad_block=9,

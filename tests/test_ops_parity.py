@@ -225,6 +225,20 @@ def test_pipeline_parity(pair, mode):
     assert np.abs(g - j)[sel].max() < 1e-4
 
 
+def test_pipeline_parity_fill_background(pair):
+    # gap filling replaces the invalid marker, so compare values everywhere
+    L, R, _, _ = pair
+    cfg = CFG.replace(fill_mode="background")
+    g = golden.sgbm_numpy(L, R, cfg)
+    j = np.asarray(sgbm(jnp.asarray(L), jnp.asarray(R), cfg))
+    assert ((g >= 0) == (j >= 0)).all()
+    sel = g >= 0
+    assert np.abs(g - j)[sel].max() < 1e-4
+    # filling must strictly reduce the invalid count on this noisy pair
+    base = golden.sgbm_numpy(L, R, CFG)
+    assert (g < 0).sum() < (base < 0).sum()
+
+
 def test_batched_matches_single(pair):
     L, R, _, _ = pair
     lefts = np.stack([L, L[::-1]]); rights = np.stack([R, R[::-1]])

@@ -137,6 +137,7 @@ def test_fuzz_random_configs_pallas_vs_jnp(rng):
             disp12_max_diff=int(rng.choice([-1, 0, 2])),
             speckle_window_size=int(rng.choice([0, 30])),
             median_filter=bool(rng.integers(0, 2)),
+            fill_mode=str(rng.choice(["off", "background"])),
         )
         a = np.asarray(sgbm(l8, r8, cfg.replace(backend="jnp")))
         b = np.asarray(sgbm(l8, r8, cfg.replace(backend="pallas")))

@@ -49,6 +49,12 @@ class Config:
     speckle_window_size: int = 100  # component area threshold; 0 disables
     speckle_range: int = 2  # max disparity jump inside a component (in px)
     median_filter: bool = True
+    # invalid-pixel gap filling (Hirschmüller 2008 §V; SURVEY.md §1.1):
+    # 'off' keeps invalid = -1; 'background' fills each invalid pixel with
+    # the LOWER of its nearest valid row neighbours (the occlusion rule —
+    # occluded pixels belong to the background surface), applied before the
+    # median so the filled map is smoothed like the rest
+    fill_mode: str = "off"
 
     # --- distribution ------------------------------------------------------
     batch_size: int = 1
@@ -82,6 +88,8 @@ class Config:
             raise ValueError("census window larger than 64 bits unsupported")
         if not (0 <= self.p1 <= self.p2):
             raise ValueError("need 0 <= P1 <= P2")
+        if self.fill_mode not in ("off", "background"):
+            raise ValueError(f"unknown fill_mode {self.fill_mode!r}")
 
     # ------------------------------------------------------------------
     @property

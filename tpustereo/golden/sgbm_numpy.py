@@ -308,6 +308,35 @@ def speckle_numpy(disp: np.ndarray, valid: np.ndarray, cfg: Config) -> np.ndarra
     return valid & big
 
 
+def fill_background_numpy(disp: np.ndarray) -> np.ndarray:
+    """Fill invalid (-1) pixels with the LOWER of the nearest valid left and
+    right neighbours in the same row (Hirschmüller 2008 §V occlusion rule:
+    occluded pixels belong to the background, i.e. the smaller disparity).
+    Pixels with no valid neighbour on either side stay invalid."""
+    H, W = disp.shape
+    out = disp.copy()
+    for y in range(H):
+        left = np.float32(INVALID)
+        lefts = np.empty(W, np.float32)
+        for x in range(W):
+            if disp[y, x] >= 0:
+                left = disp[y, x]
+            lefts[x] = left
+        right = np.float32(INVALID)
+        for x in range(W - 1, -1, -1):
+            if disp[y, x] >= 0:
+                right = disp[y, x]
+                continue
+            lv, rv = lefts[x], right
+            if lv >= 0 and rv >= 0:
+                out[y, x] = min(lv, rv)
+            elif lv >= 0:
+                out[y, x] = lv
+            elif rv >= 0:
+                out[y, x] = rv
+    return out
+
+
 def median3_numpy(disp: np.ndarray) -> np.ndarray:
     """3x3 median with edge replication."""
     p = np.pad(disp, 1, mode="edge")
@@ -350,6 +379,8 @@ def sgbm_numpy(left: np.ndarray, right: np.ndarray, cfg: Config,
     valid = speckle_numpy(disp, valid, cfg)
     stages["speckle_valid"] = valid.copy()
     disp = np.where(valid, disp, np.float32(INVALID)).astype(np.float32)
+    if cfg.fill_mode == "background":
+        disp = fill_background_numpy(disp)
     if cfg.median_filter:
         disp = median3_numpy(disp)
     if return_stages:

@@ -240,6 +240,31 @@ def speckle(disp: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# gap filling
+# ---------------------------------------------------------------------------
+
+def fill_background(disp: jnp.ndarray) -> jnp.ndarray:
+    """Fill invalid (-1) pixels with the lower of the nearest valid left and
+    right row neighbours (mirrors `golden.fill_background_numpy` — the
+    Hirschmüller occlusion rule: occluded pixels take the background, i.e.
+    smaller, disparity). Gather-free: two log-depth 'hold last valid'
+    segmented propagations via `lax.associative_scan`."""
+    valid = disp >= 0
+
+    def combine(a, b):
+        av, ah = a
+        bv, bh = b
+        return jnp.where(bh, bv, av), ah | bh
+
+    lv, lh = jax.lax.associative_scan(combine, (disp, valid), axis=1)
+    rv, rh = jax.lax.associative_scan(combine, (disp, valid), axis=1,
+                                      reverse=True)
+    fill = jnp.where(lh & rh, jnp.minimum(lv, rv),
+                     jnp.where(lh, lv, jnp.where(rh, rv, jnp.float32(-1.0))))
+    return jnp.where(valid, disp, fill)
+
+
+# ---------------------------------------------------------------------------
 # median
 # ---------------------------------------------------------------------------
 

@@ -68,6 +68,9 @@ def _select_and_refine(S: jnp.ndarray, cfg: Config) -> jnp.ndarray:
 def _postproc(disp, valid, cfg: Config):
     valid = speckle(disp, valid, cfg)
     disp = jnp.where(valid, disp, INVALID)
+    if cfg.fill_mode == "background":
+        from tpustereo.ops import fill_background
+        disp = fill_background(disp)
     if cfg.median_filter:
         mode = _pallas_mode(cfg)
         if mode != "off":
