@@ -75,7 +75,7 @@ def main():
         rec(f"micro/dr_consistency_{h}x{w}_ms", round(ms, 3))
 
     # ---- 3. final preset table at HEAD -----------------------------------
-    for batch in (1, 2, 4):
+    for batch in (1, 2, 4, 8):
         r = run_benchmark(kitti, shape=(375, 1242), batch=batch, iters=20)
         rec(f"bench/kitti_sgm8_b{batch}",
             {k: r[k] for k in ("value", "ms_per_frame", "vs_baseline")})
@@ -83,9 +83,6 @@ def main():
     rec("bench/middlebury_sgm4_b1", {k: r[k] for k in ("value", "ms_per_frame")})
     r = run_benchmark(mb, shape=(750, 1500), batch=2, iters=5)
     rec("bench/middlebury_half_750x1500",
-        {k: r[k] for k in ("value", "ms_per_frame")})
-    r = run_benchmark(mb, shape=(1500, 3000), batch=1, iters=3)
-    rec("bench/middlebury_full_1500x3000",
         {k: r[k] for k in ("value", "ms_per_frame")})
     r = run_benchmark(PRESETS["middlebury_census_wta"], shape=(375, 621),
                       batch=1, iters=15)
@@ -100,6 +97,13 @@ def main():
     r = run_benchmark(kitti.replace(census_window=(9, 7)),
                       shape=(375, 1242), batch=1, iters=15)
     rec("bench/kitti_sgm8_census9x7_b1",
+        {k: r[k] for k in ("value", "ms_per_frame")})
+
+    # LAST on purpose: this exact program (full pipeline incl. banded CC +
+    # median at 1500x3000) hung batch #8's server-side compile for 100+ min;
+    # everything above must land even if it hangs again.
+    r = run_benchmark(mb, shape=(1500, 3000), batch=1, iters=3)
+    rec("bench/middlebury_full_1500x3000",
         {k: r[k] for k in ("value", "ms_per_frame")})
 
     rec("total_wall_s", round(time.time() - t_start, 1))

@@ -34,14 +34,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 _ROWS = 4
 
+# Popcount implementation inside the cost kernel: "native" rides Mosaic's
+# `math.ctpop` lowering of lax.population_count (hardware popcount when the
+# VPU has one); "swar" is the shift-add fold below (~12 vector ops), kept as
+# the provenly-exact default until the native path is validated on-chip —
+# interpret mode cannot certify Mosaic lowerings (CLAUDE.md).
+POPCOUNT_IMPL = "swar"
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
 def _popcount32(v: jnp.ndarray) -> jnp.ndarray:
-    """SWAR popcount on int32 (values used are <= 32 bits of census).
-    Shift-add fold (no vector multiply)."""
+    """Popcount on int32 (values used are <= 32 bits of census)."""
+    if POPCOUNT_IMPL == "native":
+        return jax.lax.population_count(v)
+    # SWAR shift-add fold (no vector multiply: int32 vector multiply is not
+    # bit-exact on this Mosaic)
     v = v - ((v >> 1) & 0x55555555)
     v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
     v = (v + (v >> 4)) & 0x0F0F0F0F
