@@ -62,6 +62,22 @@ def test_tiled_exact_ring_bitexact(pair, backend):
         assert np.abs(ref - out)[sel].max() < 1e-5, f"S={strips}"
 
 
+@pytest.mark.parametrize("backend", ["jnp", "pallas"])
+def test_tiled_exact_ring_fill_hirschmuller(pair, backend):
+    """Gap filling is global postproc after the all_gather; the tiled
+    hirschmuller fill (strip-local hits maps gathered alongside) must match
+    the untiled pipeline everywhere, filled pixels included."""
+    L, R, _, _ = pair
+    cfg = _cfg(exact_tiling=True, paths=8, backend=backend,
+               fill_mode="hirschmuller")
+    ref = np.asarray(sgbm(jnp.asarray(L), jnp.asarray(R), cfg))
+    mesh = make_mesh(data=1, strip=4)
+    out = np.asarray(sgbm_tiled(jnp.asarray(L), jnp.asarray(R), cfg, mesh))
+    assert ((ref >= 0) == (out >= 0)).all()
+    sel = ref >= 0
+    assert np.abs(ref - out)[sel].max() < 1e-5
+
+
 def test_tiled_exact_ring_pallas_nondivisible(pair):
     """Pallas q-carry ring + zero-cost bottom padding: still bit-exact."""
     Ho = 45

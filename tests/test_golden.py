@@ -146,6 +146,66 @@ def test_fill_background_jnp_matches_golden(rng):
     np.testing.assert_array_equal(ref, out)
 
 
+def test_lr_hits_crafted():
+    from tpustereo.golden.sgbm_numpy import lr_hits_numpy
+    # d_r = [3, 3]: x=0: d=0 -> |3|>1, no more d in range (x-1<0) => no hit;
+    # x=1: d=0 -> |3|>1, d=1 -> |d_r[0]-1|=2>1 => no hit.
+    cfg = Config(num_disparities=4, disp12_max_diff=1)
+    d_r = np.array([[3, 3]], np.int32)
+    assert lr_hits_numpy(d_r, cfg).tolist() == [[False, False]]
+    # d_r = [1, 9]: x=1: d=1 -> |d_r[0]-1|=0 => hit; x=0: d=0 -> |1|<=1 hit
+    d_r = np.array([[1, 9]], np.int32)
+    assert lr_hits_numpy(d_r, cfg).tolist() == [[True, True]]
+
+
+def test_fill_hirschmuller_crafted():
+    from tpustereo.golden.sgbm_numpy import fill_hirschmuller_numpy
+    d = np.full((3, 3), -1.0, np.float32)
+    d[0] = [1, 2, 3]
+    d[2] = [7, 8, 9]
+    d[1, 0] = 4.0
+    # center pixel (1,1): rays find E:none(-1 at (1,2) then edge... walk
+    # continues: (1,2) invalid -> edge => none), W:4, N:2, S:8,
+    # SE:9, SW:7, NE:3, NW:1 -> vals sorted [1,2,3,4,7,8,9]
+    occ = fill_hirschmuller_numpy(d, np.zeros((3, 3), bool))
+    assert occ[1, 1] == 2.0           # second-lowest
+    mis = fill_hirschmuller_numpy(d, np.ones((3, 3), bool))
+    assert mis[1, 1] == 4.0           # lower median of 7 values
+    # pixel (1,2): E none, W 4 (through invalid (1,1)), N 3, S 9, NE/SE
+    # out, NW 2, SW 8 -> [2,3,4,8,9]: occlusion 3, mismatch 4
+    assert occ[1, 2] == 3.0 and mis[1, 2] == 4.0
+
+
+def test_lr_hits_jnp_matches_golden(rng):
+    import jax.numpy as jnp
+    from tpustereo.golden.sgbm_numpy import lr_hits_numpy
+    from tpustereo.ops import lr_hits
+    cfg = Config(num_disparities=16, disp12_max_diff=1)
+    d_r = rng.integers(0, 16, (13, 29)).astype(np.int32)
+    ref = lr_hits_numpy(d_r, cfg)
+    out = np.asarray(lr_hits(jnp.asarray(d_r), cfg))
+    np.testing.assert_array_equal(ref, out)
+    cfg2 = Config(num_disparities=8, min_disparity=3, disp12_max_diff=0)
+    np.testing.assert_array_equal(
+        lr_hits_numpy(d_r, cfg2), np.asarray(lr_hits(jnp.asarray(d_r), cfg2)))
+
+
+def test_fill_hirschmuller_jnp_matches_golden(rng):
+    import jax.numpy as jnp
+    from tpustereo.golden.sgbm_numpy import fill_hirschmuller_numpy
+    from tpustereo.ops import fill_hirschmuller
+    d = rng.uniform(0, 60, (23, 37)).astype(np.float32)
+    d[rng.random((23, 37)) < 0.45] = -1.0
+    mism = rng.random((23, 37)) < 0.5
+    ref = fill_hirschmuller_numpy(d, mism)
+    out = np.asarray(fill_hirschmuller(jnp.asarray(d), jnp.asarray(mism)))
+    np.testing.assert_array_equal(ref, out)
+    # fully-invalid map stays fully invalid
+    allinv = np.full((5, 7), -1.0, np.float32)
+    assert (np.asarray(fill_hirschmuller(jnp.asarray(allinv),
+                                         jnp.zeros((5, 7), bool))) == -1).all()
+
+
 def test_sad_const_pair(const_pair):
     L, R, gt, m = const_pair
     cfg = Config(mode="sad", num_disparities=16, sad_block=9,

@@ -239,6 +239,18 @@ def test_pipeline_parity_fill_background(pair):
     assert (g < 0).sum() < (base < 0).sum()
 
 
+def test_pipeline_parity_fill_hirschmuller(pair):
+    L, R, _, _ = pair
+    cfg = CFG.replace(fill_mode="hirschmuller")
+    g = golden.sgbm_numpy(L, R, cfg)
+    j = np.asarray(sgbm(jnp.asarray(L), jnp.asarray(R), cfg))
+    assert ((g >= 0) == (j >= 0)).all()
+    sel = g >= 0
+    assert np.abs(g - j)[sel].max() < 1e-4
+    base = golden.sgbm_numpy(L, R, CFG)
+    assert (g < 0).sum() < (base < 0).sum()
+
+
 def test_batched_matches_single(pair):
     L, R, _, _ = pair
     lefts = np.stack([L, L[::-1]]); rights = np.stack([R, R[::-1]])

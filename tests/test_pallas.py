@@ -126,6 +126,10 @@ def test_fuzz_random_configs_pallas_vs_jnp(rng):
     L, R, _, _ = synthetic_pair((40, 56), disparity=5.0, slope=0.04, seed=9)
     l8, r8 = jnp.asarray(L), jnp.asarray(R)
     for trial in range(5):
+        disp12 = int(rng.choice([-1, 0, 2]))
+        fill = str(rng.choice(["off", "background", "hirschmuller"]))
+        if fill == "hirschmuller" and disp12 < 0:
+            fill = "background"  # invalid combination (Config rejects it)
         cfg = Config(
             num_disparities=int(rng.choice([16, 32])),
             paths=int(rng.choice([4, 8])),
@@ -134,10 +138,10 @@ def test_fuzz_random_configs_pallas_vs_jnp(rng):
             adaptive_p2=bool(rng.integers(0, 2)),
             uniqueness_ratio=int(rng.choice([0, 5, 15])),
             subpixel=bool(rng.integers(0, 2)),
-            disp12_max_diff=int(rng.choice([-1, 0, 2])),
+            disp12_max_diff=disp12,
             speckle_window_size=int(rng.choice([0, 30])),
             median_filter=bool(rng.integers(0, 2)),
-            fill_mode=str(rng.choice(["off", "background"])),
+            fill_mode=fill,
         )
         a = np.asarray(sgbm(l8, r8, cfg.replace(backend="jnp")))
         b = np.asarray(sgbm(l8, r8, cfg.replace(backend="pallas")))
@@ -169,6 +173,23 @@ def test_dr_consistency_pallas_bit_exact(rng):
             pal = np.asarray(dr_consistency_pallas(d_r, disp, D, md,
                                                    interpret=True))
             assert (ref == pal).all(), (trial, md)
+
+
+def test_dr_consistency_pallas_with_hits(rng):
+    from tpustereo.kernels import dr_consistency_pallas
+    from tpustereo.ops.postproc import dr_consistency, lr_hits
+    H, W, D = 40, 72, 32
+    d_r = jnp.asarray(rng.integers(0, D, (H, W), dtype=np.int32))
+    disp = jnp.asarray(rng.uniform(-0.5, D - 0.5, (H, W)).astype(np.float32))
+    for md in (0, 1, 2):
+        cfg = Config(num_disparities=D, disp12_max_diff=md)
+        ok, hits = dr_consistency_pallas(d_r, disp, D, md, interpret=True,
+                                         with_hits=True)
+        np.testing.assert_array_equal(np.asarray(ok),
+                                      np.asarray(dr_consistency(d_r, disp,
+                                                                D, md)))
+        np.testing.assert_array_equal(np.asarray(hits),
+                                      np.asarray(lr_hits(d_r, cfg)))
 
 
 def test_cc_banded_matches_whole(rng):

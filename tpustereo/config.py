@@ -52,8 +52,13 @@ class Config:
     # invalid-pixel gap filling (Hirschmüller 2008 §V; SURVEY.md §1.1):
     # 'off' keeps invalid = -1; 'background' fills each invalid pixel with
     # the LOWER of its nearest valid row neighbours (the occlusion rule —
-    # occluded pixels belong to the background surface), applied before the
-    # median so the filled map is smoothed like the rest
+    # occluded pixels belong to the background surface); 'hirschmuller'
+    # first classifies each invalid pixel as occlusion vs mismatch via the
+    # epipolar-intersection test on the right-disparity map (needs the LR
+    # check enabled), then fills occlusions with the second-lowest and
+    # mismatches with the median of the 8-direction nearest valid values.
+    # Fills run before the median so the filled map is smoothed like the
+    # rest.
     fill_mode: str = "off"
 
     # --- distribution ------------------------------------------------------
@@ -88,8 +93,13 @@ class Config:
             raise ValueError("census window larger than 64 bits unsupported")
         if not (0 <= self.p1 <= self.p2):
             raise ValueError("need 0 <= P1 <= P2")
-        if self.fill_mode not in ("off", "background"):
+        if self.fill_mode not in ("off", "background", "hirschmuller"):
             raise ValueError(f"unknown fill_mode {self.fill_mode!r}")
+        if self.fill_mode == "hirschmuller" and self.disp12_max_diff < 0:
+            # the occlusion/mismatch classification is defined by the LR
+            # intersection test; without a threshold it has no semantics
+            raise ValueError(
+                "fill_mode='hirschmuller' requires disp12_max_diff >= 0")
 
     # ------------------------------------------------------------------
     @property

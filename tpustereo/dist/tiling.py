@@ -239,7 +239,7 @@ def _sgbm_strip_fused(left_loc, right_loc, cfg: Config, n_real: int,
     if cfg.disp12_max_diff >= 0:
         valid &= dr_consistency_pallas(d_r, disp, cfg.num_disparities,
                                        cfg.disp12_max_diff, interpret=interp)
-    return disp, valid
+    return disp, valid, _strip_hits(d_r, cfg)
 
 
 def _ring_sweep_pallas(Cv, dxs, reverse: bool, cfg: Config, w_real: int,
@@ -344,7 +344,17 @@ def _sgbm_strip_exact_fused(left_loc, right_loc, cfg: Config, n_real: int,
     if cfg.disp12_max_diff >= 0:
         valid &= dr_consistency_pallas(d_r, disp, cfg.num_disparities,
                                        cfg.disp12_max_diff, interpret=interp)
-    return disp, valid
+    return disp, valid, _strip_hits(d_r, cfg)
+
+
+def _strip_hits(d_r, cfg: Config):
+    """Strip-local `ops.postproc.lr_hits` for fill_mode='hirschmuller', or
+    None. LR machinery is row-wise (hits[y] depends only on d_R[y]), so
+    strip-local hits over exact-ring d_R equal the untiled map exactly."""
+    if cfg.fill_mode != "hirschmuller":
+        return None
+    from tpustereo.ops import lr_hits
+    return lr_hits(d_r, cfg)
 
 
 def _sgbm_strip(left_loc, right_loc, cfg: Config, n_real: int):
@@ -359,30 +369,39 @@ def _sgbm_strip(left_loc, right_loc, cfg: Config, n_real: int):
                 and cfg.min_disparity == 0
                 and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096)
     if fused_ok and cfg.exact_tiling:
-        disp, valid = _sgbm_strip_exact_fused(left_loc, right_loc, cfg,
+        disp, valid, hits = _sgbm_strip_exact_fused(
+            left_loc, right_loc, cfg, n_real, interp=(mode == "interpret"))
+    elif fused_ok:
+        disp, valid, hits = _sgbm_strip_fused(left_loc, right_loc, cfg,
                                               n_real,
                                               interp=(mode == "interpret"))
-    elif fused_ok:
-        disp, valid = _sgbm_strip_fused(left_loc, right_loc, cfg, n_real,
-                                        interp=(mode == "interpret"))
     else:
         S = _volume_local(left_loc, right_loc, cfg, n_real)
         disp, d_int, valid = wta(S, cfg)
         valid &= lr_check(S, disp, cfg)
+        if cfg.fill_mode == "hirschmuller":
+            from tpustereo.ops import lr_hits_from_volume
+            hits = lr_hits_from_volume(S, cfg)
+        else:
+            hits = None
 
     full_disp = lax.all_gather(disp, AXIS, tiled=True)
     full_valid = lax.all_gather(valid, AXIS, tiled=True)
+    full_hits = (lax.all_gather(hits, AXIS, tiled=True)
+                 if hits is not None else None)
     from tpustereo.pipeline.sgbm import _postproc
     H_pad = full_disp.shape[0]
     if n_real < H_pad:
         # speckle/median must see exactly the real image (a padded row would
         # shift median's edge replication and could touch component sizes)
-        out = _postproc(full_disp[:n_real], full_valid[:n_real], cfg)
+        out = _postproc(full_disp[:n_real], full_valid[:n_real], cfg,
+                        hits=(None if full_hits is None
+                              else full_hits[:n_real]))
         out = jnp.concatenate(
             [out, jnp.full((H_pad - n_real, out.shape[1]), INVALID,
                            out.dtype)], axis=0)
     else:
-        out = _postproc(full_disp, full_valid, cfg)
+        out = _postproc(full_disp, full_valid, cfg, hits=full_hits)
     i = lax.axis_index(AXIS)
     Hs = disp.shape[0]
     return lax.dynamic_slice_in_dim(out, i * Hs, Hs, axis=0)

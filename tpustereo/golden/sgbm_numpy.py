@@ -246,6 +246,20 @@ def wta_numpy(S: np.ndarray, cfg: Config):
     return disp, d_int, valid
 
 
+def right_disparity_numpy(S: np.ndarray, cfg: Config) -> np.ndarray:
+    """Right-view WTA from the same aggregated volume via the diagonal
+    re-index S_R(y,x,j) = S_L(y,x+d,j), d = min_disparity + j (§1.1).
+    Returns true pixel units; out-of-range hypotheses are skipped."""
+    H, W, D = S.shape
+    SR = np.full((H, W, D), int(_BIG), dtype=np.int64)
+    for j in range(D):
+        d = cfg.min_disparity + j
+        if d >= W:
+            break
+        SR[:, : W - d, j] = S[:, d:, j]
+    return SR.argmin(axis=-1).astype(np.int32) + np.int32(cfg.min_disparity)
+
+
 def lr_check_numpy(S: np.ndarray, d_int: np.ndarray, disp: np.ndarray,
                    cfg: Config) -> np.ndarray:
     """Validity mask from the LR consistency check (§1.1).
@@ -256,13 +270,7 @@ def lr_check_numpy(S: np.ndarray, d_int: np.ndarray, disp: np.ndarray,
     H, W, D = S.shape
     if cfg.disp12_max_diff < 0:
         return np.ones((H, W), dtype=bool)
-    SR = np.full((H, W, D), int(_BIG), dtype=np.int64)
-    for j in range(D):
-        d = cfg.min_disparity + j
-        if d >= W:
-            break
-        SR[:, : W - d, j] = S[:, d:, j]
-    d_r = SR.argmin(axis=-1).astype(np.int32) + np.int32(cfg.min_disparity)
+    d_r = right_disparity_numpy(S, cfg)
     xs = np.arange(W)[None, :]
     dl = np.round(disp).astype(np.int32)
     xr = xs - dl
@@ -337,6 +345,65 @@ def fill_background_numpy(disp: np.ndarray) -> np.ndarray:
     return out
 
 
+def lr_hits_numpy(d_r: np.ndarray, cfg: Config) -> np.ndarray:
+    """Epipolar-intersection map for occlusion/mismatch classification
+    (Hirschmüller 2008 §V): hits[y,x] is True iff some right-image pixel
+    claims correspondence with left pixel x — ∃ d in the search range with
+    x-d >= 0 and |d_R(y, x-d) - d| <= disp12_max_diff. An invalid pixel
+    whose line of sight is intersected this way is a MISMATCH (it is seen,
+    but matched inconsistently); one with no intersection is an OCCLUSION."""
+    H, W = d_r.shape
+    diff = max(cfg.disp12_max_diff, 0)
+    hits = np.zeros((H, W), dtype=bool)
+    for y in range(H):
+        for x in range(W):
+            for j in range(cfg.num_disparities):
+                d = cfg.min_disparity + j
+                if x - d < 0:
+                    break
+                if abs(int(d_r[y, x - d]) - d) <= diff:
+                    hits[y, x] = True
+                    break
+    return hits
+
+
+_FILL_DIRS = ((0, 1), (0, -1), (1, 0), (-1, 0), (1, 1), (1, -1), (-1, 1),
+              (-1, -1))
+
+
+def fill_hirschmuller_numpy(disp: np.ndarray, mismatch: np.ndarray) -> np.ndarray:
+    """Full Hirschmüller 2008 §V gap filling: for each invalid pixel collect
+    the nearest valid disparity along each of the 8 directions, then fill
+    occlusions with the SECOND-LOWEST value (the background rule must not
+    bleed the occluder's foreground disparity; lowest if only one direction
+    found a value) and mismatches with the LOWER MEDIAN (sorted[(k-1)//2] of
+    the k values found). Pixels with no valid value in any direction stay
+    invalid."""
+    H, W = disp.shape
+    out = disp.copy()
+    for y in range(H):
+        for x in range(W):
+            if disp[y, x] >= 0:
+                continue
+            vals = []
+            for dy, dx in _FILL_DIRS:
+                yy, xx = y + dy, x + dx
+                while 0 <= yy < H and 0 <= xx < W:
+                    if disp[yy, xx] >= 0:
+                        vals.append(disp[yy, xx])
+                        break
+                    yy += dy
+                    xx += dx
+            if not vals:
+                continue
+            vals.sort()
+            if mismatch[y, x]:
+                out[y, x] = vals[(len(vals) - 1) // 2]
+            else:
+                out[y, x] = vals[1] if len(vals) >= 2 else vals[0]
+    return out
+
+
 def median3_numpy(disp: np.ndarray) -> np.ndarray:
     """3x3 median with edge replication."""
     p = np.pad(disp, 1, mode="edge")
@@ -381,6 +448,10 @@ def sgbm_numpy(left: np.ndarray, right: np.ndarray, cfg: Config,
     disp = np.where(valid, disp, np.float32(INVALID)).astype(np.float32)
     if cfg.fill_mode == "background":
         disp = fill_background_numpy(disp)
+    elif cfg.fill_mode == "hirschmuller":
+        hits = lr_hits_numpy(right_disparity_numpy(S, cfg), cfg)
+        stages["lr_hits"] = hits
+        disp = fill_hirschmuller_numpy(disp, hits)
     if cfg.median_filter:
         disp = median3_numpy(disp)
     if return_stages:

@@ -57,12 +57,38 @@ def _kernel(dl_ref, dr_ref, out_ref, *, d_real, max_diff, d_off):
     out_ref[...] = (jnp.abs(dl - res) <= max_diff).astype(jnp.int32)
 
 
+def _kernel_hits(dl_ref, dr_ref, out_ref, hits_ref, *, d_real, max_diff,
+                 d_off):
+    """`_kernel` plus the epipolar-intersection map for occlusion/mismatch
+    classification (ops.postproc.lr_hits): hits[x] ⇔ ∃ d with
+    |d_R(x-d) - d| <= max_diff. Rides the same incremental roll — the hit
+    test per d is 3 extra slab ops. The BIG margin makes out-of-image
+    lookups miss; roll wrap deposits only into the margin (d < d_off)."""
+    dl = dl_ref[...]
+    cur0 = dr_ref[...]
+    res0 = jnp.where(dl == 0, cur0, jnp.full(dl.shape, _BIG, jnp.int32))
+    hit0 = (jnp.abs(cur0) <= max_diff).astype(jnp.int32)
+
+    def body(d, carry):
+        cur, res, hit = carry
+        cur = pltpu.roll(cur, 1, axis=1)
+        return (cur, jnp.where(dl == d, cur, res),
+                hit | (jnp.abs(cur - d) <= max_diff).astype(jnp.int32))
+
+    _, res, hit = jax.lax.fori_loop(1, d_real, body, (cur0, res0, hit0))
+    out_ref[...] = (jnp.abs(dl - res) <= max_diff).astype(jnp.int32)
+    hits_ref[...] = hit
+
+
 def dr_consistency_pallas(d_r: jnp.ndarray, disp: jnp.ndarray, num_disp: int,
-                          max_diff: int, interpret: bool = False) -> jnp.ndarray:
+                          max_diff: int, interpret: bool = False,
+                          with_hits: bool = False):
     """|d_L(x) - d_R(x - round(d_L(x)))| <= max_diff; (H, W) bool.
 
     d_r int32, disp float32, both (H, W). Drop-in for the jnp
-    `dr_consistency` at min_disparity == 0 (the kernel-path precondition)."""
+    `dr_consistency` at min_disparity == 0 (the kernel-path precondition).
+    with_hits=True additionally returns the `ops.postproc.lr_hits`
+    intersection map (for fill_mode='hirschmuller') from the same pass."""
     H, W = d_r.shape
     Hp = _round_up(H, _ROWS)
     d_off = _round_up(num_disp, 128)
@@ -76,16 +102,30 @@ def dr_consistency_pallas(d_r: jnp.ndarray, disp: jnp.ndarray, num_disp: int,
     drp = jnp.pad(d_r.astype(jnp.int32), ((0, Hp - H), (d_off, Wq - W)),
                   constant_values=_BIG)
 
-    kernel = functools.partial(_kernel, d_real=min(num_disp, W),
-                               max_diff=max_diff, d_off=d_off)
     spec = pl.BlockSpec((_ROWS, Wp), lambda g: (g, 0),
                         memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)
+    if with_hits:
+        kernel = functools.partial(_kernel_hits, d_real=min(num_disp, W),
+                                   max_diff=max_diff, d_off=d_off)
+        ok, hits = pl.pallas_call(
+            kernel,
+            grid=(Hp // _ROWS,),
+            in_specs=[spec, spec],
+            out_specs=(spec, spec),
+            out_shape=(shape, shape),
+            interpret=interpret,
+        )(dlp, drp)
+        return (ok[:H, d_off:d_off + W].astype(bool),
+                hits[:H, d_off:d_off + W].astype(bool))
+    kernel = functools.partial(_kernel, d_real=min(num_disp, W),
+                               max_diff=max_diff, d_off=d_off)
     ok = pl.pallas_call(
         kernel,
         grid=(Hp // _ROWS,),
         in_specs=[spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
+        out_shape=shape,
         interpret=interpret,
     )(dlp, drp)
     return ok[:H, d_off:d_off + W].astype(bool)

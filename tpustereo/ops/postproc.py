@@ -264,6 +264,110 @@ def fill_background(disp: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid, disp, fill)
 
 
+_FBIG = 1e30  # "no valid value found" sentinel; sorts after any disparity
+
+
+def lr_hits(d_r: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """Epipolar-intersection map for occlusion/mismatch classification
+    (mirrors `golden.lr_hits_numpy`): hits[y,x] ⇔ ∃ d in the search range
+    with x-d >= 0 and |d_R(y, x-d) - d| <= disp12_max_diff. Gather-free:
+    one static shift + compare per d, OR-accumulated; the _BIG fill makes
+    out-of-image lookups miss, doubling as the x-d >= 0 condition."""
+    H, W = d_r.shape
+    diff = max(cfg.disp12_max_diff, 0)
+    dr = d_r.astype(jnp.int32)
+    hits = jnp.zeros((H, W), bool)
+    for j in range(cfg.num_disparities):
+        d = cfg.min_disparity + j
+        if d >= W:
+            break
+        shifted = jnp.concatenate(
+            [jnp.full((H, d), jnp.int32(_BIG)), dr[:, : W - d]], axis=1)
+        hits |= jnp.abs(shifted - d) <= diff
+    return hits
+
+
+def lr_hits_from_volume(S: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """`lr_hits` for callers that have the aggregated volume but no
+    right-disparity map (the non-fused pipeline paths). The duplicate
+    `_right_disparity` with `lr_check` is CSE'd by XLA (pure, same args)."""
+    return lr_hits(_right_disparity(S, cfg.min_disparity), cfg)
+
+
+def _hold_last_valid(disp: jnp.ndarray, valid: jnp.ndarray,
+                     reverse: bool) -> jnp.ndarray:
+    """Per pixel: the nearest valid disparity strictly toward lower x
+    (reverse=False) or higher x (reverse=True) — evaluated inclusively, so
+    at a *valid* pixel it returns the pixel itself (callers only consume it
+    at invalid pixels, where inclusive == the ray from the neighbour on).
+    _FBIG where the ray leaves the image without meeting a valid pixel."""
+
+    def combine(a, b):
+        av, ah = a
+        bv, bh = b
+        return jnp.where(bh, bv, av), ah | bh
+
+    v, h = jax.lax.associative_scan(combine, (disp, valid), axis=1,
+                                    reverse=reverse)
+    return jnp.where(h, v, jnp.float32(_FBIG))
+
+
+def _hold_diag(disp: jnp.ndarray, valid: jnp.ndarray, dy: int,
+               dx: int) -> jnp.ndarray:
+    """Nearest valid disparity along the diagonal ray (dy, dx) from each
+    pixel (inclusive, like `_hold_last_valid`). Recurrence
+    held[y, x] = disp if valid else held[y+dy, x+dx]: a `lax.scan` over rows
+    whose carry is the previous held row shifted by dx — H elementwise
+    (W,)-vector steps, no gathers."""
+    H, W = disp.shape
+    big1 = jnp.full((1,), jnp.float32(_FBIG), disp.dtype)
+
+    def step(carry, row):
+        v, ok = row
+        if dx < 0:
+            shifted = jnp.concatenate([big1, carry[:-1]])
+        else:
+            shifted = jnp.concatenate([carry[1:], big1])
+        held = jnp.where(ok, v, shifted)
+        return held, held
+
+    init = jnp.full((W,), jnp.float32(_FBIG), disp.dtype)
+    _, out = jax.lax.scan(step, init, (disp, valid), reverse=(dy > 0))
+    return out
+
+
+def fill_hirschmuller(disp: jnp.ndarray, mismatch: jnp.ndarray) -> jnp.ndarray:
+    """Full Hirschmüller 2008 §V gap filling (mirrors
+    `golden.fill_hirschmuller_numpy`): collect the nearest valid disparity
+    along each of the 8 directions, fill occlusions with the second-lowest
+    value (lowest if only one found) and mismatches with the lower median.
+    Pixels with no valid value in any direction stay invalid.
+
+    TPU formulation: the 8 ray values come from 2 row scans
+    (`associative_scan`), 2 column scans (transposed — axis-0 scans are ~7x
+    slower), and 4 diagonal `lax.scan`s; selection is a length-8 sort plus
+    an 8-way masked select (no gathers)."""
+    valid = disp >= 0
+    dT, vT = disp.T, valid.T
+    vals = jnp.stack([
+        _hold_last_valid(disp, valid, reverse=True),    # ray (0, +1)
+        _hold_last_valid(disp, valid, reverse=False),   # ray (0, -1)
+        _hold_last_valid(dT, vT, reverse=True).T,       # ray (+1, 0)
+        _hold_last_valid(dT, vT, reverse=False).T,      # ray (-1, 0)
+        _hold_diag(disp, valid, 1, 1),
+        _hold_diag(disp, valid, 1, -1),
+        _hold_diag(disp, valid, -1, 1),
+        _hold_diag(disp, valid, -1, -1),
+    ])                                                   # (8, H, W)
+    s = jnp.sort(vals, axis=0)
+    k = (vals < jnp.float32(_FBIG)).sum(axis=0)          # directions found
+    idx = jnp.where(mismatch, (k - 1) // 2, jnp.minimum(1, k - 1))
+    fill = s[0]
+    for i in range(1, 8):
+        fill = jnp.where(idx == i, s[i], fill)
+    return jnp.where(valid | (k == 0), disp, fill)
+
+
 # ---------------------------------------------------------------------------
 # median
 # ---------------------------------------------------------------------------

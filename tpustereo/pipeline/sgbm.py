@@ -62,15 +62,25 @@ def _select_and_refine(S: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     else:
         disp, d_int, valid = wta(S, cfg)
         valid &= lr_check(S, disp, cfg)
-    return _postproc(disp, valid, cfg)
+    hits = None
+    if cfg.fill_mode == "hirschmuller":
+        from tpustereo.ops import lr_hits_from_volume
+        hits = lr_hits_from_volume(S, cfg)
+    return _postproc(disp, valid, cfg, hits=hits)
 
 
-def _postproc(disp, valid, cfg: Config):
+def _postproc(disp, valid, cfg: Config, hits=None):
     valid = speckle(disp, valid, cfg)
     disp = jnp.where(valid, disp, INVALID)
     if cfg.fill_mode == "background":
         from tpustereo.ops import fill_background
         disp = fill_background(disp)
+    elif cfg.fill_mode == "hirschmuller":
+        # hits (the epipolar-intersection map, ops.postproc.lr_hits) comes
+        # from whichever path computed d_R; classification: hit ⇒ mismatch,
+        # no hit ⇒ occlusion (golden.sgbm_numpy stage 'lr_hits')
+        from tpustereo.ops import fill_hirschmuller
+        disp = fill_hirschmuller(disp, hits)
     if cfg.median_filter:
         mode = _pallas_mode(cfg)
         if mode != "off":
@@ -86,7 +96,11 @@ def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """Single-pair pipeline: (H, W) uint8 ×2 -> (H, W) float32 disparity."""
     mode = _pallas_mode(cfg)
     if (cfg.mode == "census_wta" and mode != "off" and cfg.census_bits <= 64
-            and cfg.num_disparities <= 128 and cfg.min_disparity == 0):
+            and cfg.num_disparities <= 128 and cfg.min_disparity == 0
+            and cfg.fill_mode != "hirschmuller"):
+        # (hirschmuller fill needs d_R / the hits map, which this fused
+        # path never materialises — that rare combination takes the
+        # volume path below where S is available)
         # fused census_wta path: the WTA kernel reads the padded uint8 cost
         # frame directly — the slice + int16 cast + re-pad it replaces were
         # three full-volume relayout passes (dominant at Middlebury size)
@@ -123,12 +137,19 @@ def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
                 C, cfg, left, interpret=interp,
                 dims=(H, W, cfg.num_disparities))
         with jax.named_scope("postproc"):
+            hits = None
             if cfg.disp12_max_diff >= 0:
-                valid &= dr_consistency_pallas(d_r, disp,
+                if cfg.fill_mode == "hirschmuller":
+                    ok, hits = dr_consistency_pallas(
+                        d_r, disp, cfg.num_disparities, cfg.disp12_max_diff,
+                        interpret=interp, with_hits=True)
+                else:
+                    ok = dr_consistency_pallas(d_r, disp,
                                                cfg.num_disparities,
                                                cfg.disp12_max_diff,
                                                interpret=interp)
-            return _postproc(disp, valid, cfg)
+                valid &= ok
+            return _postproc(disp, valid, cfg, hits=hits)
     with jax.named_scope("sgbm_volume"):
         S = sgbm_volume(left, right, cfg)
     with jax.named_scope("select_refine"):
