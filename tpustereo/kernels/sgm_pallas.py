@@ -442,7 +442,7 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
 
 
 def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
-                      interpret: bool = False, dims=None):
+                      interpret: bool = False, dims=None, Ct=None):
     """Aggregation + WTA + uniqueness + subpixel + right-disparity, fully
     fused: down/up sweeps accumulate S, the transposed fwd sweep adds the E
     paths, and the bwd sweep consumes S and emits per-pixel outputs — the
@@ -480,11 +480,14 @@ def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     S = sweep(C, S, dxs_v, True,
               p2_maps=_p2_stack(img, up, cfg, False, Hp, Wq))
 
-    # tile-transpose kernels for the horizontal scans; the padded scan
-    # columns are inert: the fwd sweep reaches them last, the bwd+WTA
-    # kernel skips its state updates for them (`real` guard)
+    # horizontal-layout operands: Ct comes fused from the cost kernel when
+    # the caller has it (with_transposed=True), else via the tile-transpose
+    # kernel; S always transposes here. The padded scan columns are inert:
+    # the fwd sweep reaches them last, the bwd+WTA kernel skips its state
+    # updates for them (`real` guard)
     from tpustereo.kernels.transpose_pallas import transpose_hw_pallas
-    Ct = transpose_hw_pallas(C, interpret=interpret, trim=False)
+    if Ct is None:
+        Ct = transpose_hw_pallas(C, interpret=interpret, trim=False)
     St = transpose_hw_pallas(S, interpret=interpret, trim=False)
     Tt, H8 = Ct.shape[0], Ct.shape[1]
     sweep_t = functools.partial(sgm_sweep, p1=cfg.p1, p2=cfg.p2, n_real=H,

@@ -129,13 +129,14 @@ def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
         interp = mode == "interpret"
         H, W = left.shape
         with jax.named_scope("cost_volume"):
-            C = census_cost_volume_pallas(
+            C, Ct = census_cost_volume_pallas(
                 left, right, cfg.num_disparities, cfg.max_census_cost,
-                cfg.census_window, interpret=interp, padded=True)
+                cfg.census_window, interpret=interp, padded=True,
+                with_transposed=True)
         with jax.named_scope("sgm_select"):
             disp, valid, d_r = sgm_select_pallas(
                 C, cfg, left, interpret=interp,
-                dims=(H, W, cfg.num_disparities))
+                dims=(H, W, cfg.num_disparities), Ct=Ct)
         with jax.named_scope("postproc"):
             hits = None
             if cfg.disp12_max_diff >= 0:
