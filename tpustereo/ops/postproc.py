@@ -33,48 +33,74 @@ _BIG = 1 << 24  # plain int: module import must not initialise the backend
 # LR consistency check
 # ---------------------------------------------------------------------------
 
+def _log_shear(A: jnp.ndarray, up: bool) -> jnp.ndarray:
+    """Lane-dependent shift along axis 1 of (H, X, D): out[:, u, j] =
+    A[:, u+j, j] (up) or A[:, u-j, j] (down), composed from ceil(log2 D)
+    static rolls — the jnp-level analog of the Pallas kernels' shear trick.
+    Wrapped elements are junk; callers pad axis 1 so every index they keep
+    resolves inside the unwrapped region."""
+    D = A.shape[2]
+    lane = jnp.arange(D, dtype=jnp.int32)
+    for b in range(max(1, (D - 1).bit_length())):
+        sh = -(1 << b) if up else (1 << b)
+        A = jnp.where(((lane >> b) & 1) == 1, jnp.roll(A, sh, axis=1), A)
+    return A
+
+
+def _shift_volume(v: jnp.ndarray, D: int, min_disp: int,
+                  fill: jnp.ndarray) -> jnp.ndarray:
+    """G[y, x, j] = v[y, x - (min_disp + j)], `fill` where x - d < 0.
+    Log-shear (ceil(log2 D) rolls) instead of one unrolled static shift per
+    disparity — the unrolled form carried D slice/select ops and dominated
+    fallback-path compile time on the 5-30-min remote-compile box."""
+    H, W = v.shape
+    pad = min_disp + D
+    vp = jnp.concatenate([jnp.full((H, pad), fill, v.dtype), v], axis=1)
+    G = _log_shear(jnp.broadcast_to(vp[:, :, None], (H, W + pad, D)),
+                   up=False)
+    return G[:, pad - min_disp: pad - min_disp + W]
+
+
 def _right_disparity(S: jnp.ndarray, min_disp: int = 0) -> jnp.ndarray:
     """argmin_j S(y, x+d, j), d = min_disp + j — right-view WTA from the
     same aggregated volume via the diagonal re-index (mirrors
     golden.lr_check_numpy). Returns the disparity in true pixel units.
 
-    Gather-free: one static shifted slice per disparity plane, min-reduced
-    with (value, index) packed into a single int32 so ties break toward the
-    smallest d exactly like argmin. XLA fuses the D slices into one pass
-    over the volume.
-    """
+    Gather-free: the diagonal re-index T[y, x, j] = S[y, x+min_disp+j, j]
+    is a log-shear (ceil(log2 D) rolls), then one min-reduce with (value,
+    index) packed into a single int32 so ties break toward the smallest d
+    exactly like argmin."""
     from tpustereo.ops.wta import next_pow2
     H, W, D = S.shape
     big = jnp.int32(1 << 20)
     # packing factor scales with D (a fixed 256 silently corrupted D > 256)
     shift = next_pow2(max(D, 2))
-    packed_best = jnp.full((H, W), big * shift, jnp.int32)
-    for j in range(min(D, max(W - min_disp, 0))):
-        d = min_disp + j
-        plane = S[:, :, j].astype(jnp.int32)            # (H, W) static slice
-        v = jnp.concatenate(
-            [plane[:, d:], jnp.full((H, d), big, jnp.int32)], axis=1)
-        packed_best = jnp.minimum(packed_best, v * shift + j)
+    pad = min_disp + D
+    Sp = jnp.concatenate([S.astype(jnp.int32),
+                          jnp.full((H, pad, D), big, jnp.int32)], axis=1)
+    T = _log_shear(Sp, up=True)[:, min_disp: min_disp + W]
+    lane = jnp.arange(D, dtype=jnp.int32)
+    packed_best = jnp.min(T * shift + lane, axis=2)
     return (packed_best & (shift - 1)) + min_disp
 
 
 def dr_consistency(d_r: jnp.ndarray, disp: jnp.ndarray, num_disp: int,
                    max_diff: int, min_disp: int = 0) -> jnp.ndarray:
     """|d_L(x) - d_R(x - round(d_L(x)))| <= max_diff given a precomputed
-    right-disparity map. Gather-free: for each integer d, shift d_R right
-    by d (static) and select where round(d_L) == d; the _BIG fill makes
+    right-disparity map. Gather-free: the per-pixel lookup rides the sheared
+    G[y, x, j] = d_R(x - min_disp - j) volume (`_shift_volume`), selected at
+    lane round(d_L) by a masked min-reduce; the _BIG fill makes
     out-of-image lookups (x < d_L) fail the check, which doubles as the
     in-image condition. (_BIG, not a small in-range sentinel: a 255 fill
     collided with the legitimate d_r == 255 at num_disp == 256 and let
     |d - 255| pass the check near d = 255 for larger D.)"""
     H, W = d_r.shape
     dl = jnp.round(disp).astype(jnp.int32)
-    diff = jnp.full((H, W), jnp.int32(_BIG))
-    # d >= W cannot pass (x - d < 0 everywhere); the BIG init covers it
-    for d in range(min_disp, min(min_disp + num_disp, W)):
-        shifted = jnp.concatenate(
-            [jnp.full((H, d), jnp.int32(_BIG)), d_r[:, : W - d]], axis=1)
-        diff = jnp.where(dl == d, jnp.abs(d - shifted), diff)
+    G = _shift_volume(d_r.astype(jnp.int32), num_disp, min_disp,
+                      jnp.int32(_BIG))
+    lane = jnp.arange(num_disp, dtype=jnp.int32) + min_disp
+    diff = jnp.min(jnp.where(dl[:, :, None] == lane, jnp.abs(lane - G),
+                             jnp.int32(_BIG)), axis=2)
     return diff <= max_diff
 
 
@@ -271,20 +297,15 @@ def lr_hits(d_r: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """Epipolar-intersection map for occlusion/mismatch classification
     (mirrors `golden.lr_hits_numpy`): hits[y,x] ⇔ ∃ d in the search range
     with x-d >= 0 and |d_R(y, x-d) - d| <= disp12_max_diff. Gather-free:
-    one static shift + compare per d, OR-accumulated; the _BIG fill makes
-    out-of-image lookups miss, doubling as the x-d >= 0 condition."""
+    one compare over the sheared G[y, x, j] = d_R(x - d) volume
+    (`_shift_volume`), OR-reduced over j; the _BIG fill makes out-of-image
+    lookups miss, doubling as the x-d >= 0 condition."""
     H, W = d_r.shape
     diff = max(cfg.disp12_max_diff, 0)
-    dr = d_r.astype(jnp.int32)
-    hits = jnp.zeros((H, W), bool)
-    for j in range(cfg.num_disparities):
-        d = cfg.min_disparity + j
-        if d >= W:
-            break
-        shifted = jnp.concatenate(
-            [jnp.full((H, d), jnp.int32(_BIG)), dr[:, : W - d]], axis=1)
-        hits |= jnp.abs(shifted - d) <= diff
-    return hits
+    G = _shift_volume(d_r.astype(jnp.int32), cfg.num_disparities,
+                      cfg.min_disparity, jnp.int32(_BIG))
+    lane = jnp.arange(cfg.num_disparities, dtype=jnp.int32) + cfg.min_disparity
+    return jnp.any(jnp.abs(G - lane) <= diff, axis=2)
 
 
 def lr_hits_from_volume(S: jnp.ndarray, cfg: Config) -> jnp.ndarray:
