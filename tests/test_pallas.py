@@ -228,3 +228,39 @@ def test_cc_banded_serpentine_multicycle(rng):
         conn_h, conn_v, interpret=True, band_rows=8))
     assert (ref == banded).all()
     assert np.unique(banded[v]).size == 1
+
+
+@pytest.mark.parametrize("frames,fill", [(2, "off"), (3, "hirschmuller")])
+def test_sgbm_frames_matches_singles(rng, frames, fill):
+    """Frame-stacked fused pipeline (one set of kernel launches for F
+    frames, carry reset at seams) is bit-exact vs F single-frame runs."""
+    from tpustereo.data.synthetic import synthetic_pair
+    from tpustereo.pipeline.sgbm import sgbm_frames
+    cfg = Config(num_disparities=32, paths=8, backend="pallas",
+                 fill_mode=fill, speckle_window_size=20)
+    Ls, Rs = [], []
+    for f in range(frames):
+        L, R, _, _ = synthetic_pair((41, 67), disparity=5.0 + 3 * f,
+                                    slope=0.04, seed=100 + f)
+        Ls.append(L)
+        Rs.append(R)
+    Ls = jnp.asarray(np.stack(Ls))
+    Rs = jnp.asarray(np.stack(Rs))
+    stacked = np.asarray(sgbm_frames(Ls, Rs, cfg))
+    singles = np.stack([np.asarray(sgbm(Ls[f], Rs[f], cfg))
+                        for f in range(frames)])
+    np.testing.assert_array_equal(stacked, singles)
+
+
+def test_sgbm_batched_frames_per_step(rng):
+    """sgbm_batched with frames_per_step > 1 equals the per-frame scan."""
+    from tpustereo.data.synthetic import synthetic_pair
+    from tpustereo.pipeline.sgbm import sgbm_batched
+    cfg = Config(num_disparities=32, paths=8, backend="pallas")
+    pairs = [synthetic_pair((33, 49), disparity=4.0 + f, slope=0.03,
+                            seed=200 + f)[:2] for f in range(4)]
+    L = jnp.asarray(np.stack([p[0] for p in pairs]))
+    R = jnp.asarray(np.stack([p[1] for p in pairs]))
+    a = np.asarray(sgbm_batched(L, R, cfg))
+    b = np.asarray(sgbm_batched(L, R, cfg.replace(frames_per_step=2)))
+    np.testing.assert_array_equal(a, b)

@@ -63,6 +63,13 @@ class Config:
 
     # --- distribution ------------------------------------------------------
     batch_size: int = 1
+    # frames processed per device step by stacking them into one set of
+    # kernel launches (pipeline.sgbm_frames): the horizontal SGM sweeps see
+    # only ~H/8 sublane vregs per vector op at KITTI geometry, so per-op
+    # issue overhead dominates them; stacking F frames fattens every slab
+    # F-fold for the same op count. Used by sgbm_batched when it evenly
+    # divides the batch; 1 = one frame per step (the r1 behaviour).
+    frames_per_step: int = 1
     strips: int = 1  # spatial strip count over the mesh 'strip' axis
     halo: int = 32  # halo rows per strip boundary (halo-approx mode)
     exact_tiling: bool = False  # ring carry hand-off instead of halo approx
@@ -93,6 +100,8 @@ class Config:
             raise ValueError("census window larger than 64 bits unsupported")
         if not (0 <= self.p1 <= self.p2):
             raise ValueError("need 0 <= P1 <= P2")
+        if self.frames_per_step < 1:
+            raise ValueError("frames_per_step must be >= 1")
         if self.fill_mode not in ("off", "background", "hirschmuller"):
             raise ValueError(f"unknown fill_mode {self.fill_mode!r}")
         if self.fill_mode == "hirschmuller" and self.disp12_max_diff < 0:

@@ -94,7 +94,7 @@ def _shear_down(slab: jnp.ndarray, lane: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kernel(*refs, n_dy, rx, d_real, max_cost, w_real, h_real, align,
-            with_t):
+            with_t, g_frame):
     l_refs = refs[:n_dy]
     r_refs = refs[n_dy:2 * n_dy]
     oob_ref = refs[2 * n_dy]
@@ -136,13 +136,15 @@ def _kernel(*refs, n_dy, rx, d_real, max_cost, w_real, h_real, align,
         # keeps the sweeps' q-carry at a fresh path start, so reverse scans
         # entering from the padding are exact (see dist.tiling)
         pc = pltpu.roll(pc, (Wq - rx) % Wq, axis=1)
-        t = pl.program_id(0)
+        # row/step index within the current frame (frames stack on the row
+        # axis; g_frame grid steps each)
+        tf = jax.lax.rem(pl.program_id(0), g_frame)
         last = (h_real - 1) // R
-        @pl.when(t >= last)  # only blocks holding padded rows pay the mask
+        @pl.when(tf >= last)  # only blocks holding padded rows pay the mask
         def _zero_pad_rows():
-            row = t * R + jax.lax.broadcasted_iota(jnp.int32, (R, Wq, D), 0)
+            row = tf * R + jax.lax.broadcasted_iota(jnp.int32, (R, Wq, D), 0)
             emit(jnp.where(row >= h_real, 0, pc).astype(jnp.uint8))
-        @pl.when(t < last)
+        @pl.when(tf < last)
         def _plain():
             emit(pc.astype(jnp.uint8))
     else:
@@ -170,17 +172,25 @@ def census_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
     `transpose_hw_pallas(C, trim=False)` but emitted from this same pass —
     the vertical-layout volume never makes the extra HBM round trip
     through a standalone transpose kernel (VERDICT r1 "next" #3).
+
+    left/right may also be (F, H, W): F frames stacked on the row axis
+    (requires padded=True). Returns C (F*Hp, Wq, Dp) / Ct (Wq, F*Hp, Dp)
+    with each frame occupying its own Hp-row band — the row-plane inputs
+    are built per frame, so census windows never read across frames, and
+    each frame's padded rows are zeroed exactly as in the single case.
     """
     ch, cw = window
     assert ch * cw - 1 <= 64, "Pallas census kernel supports <=64 bits"
     ry, rx = ch // 2, cw // 2
-    H, W = left.shape
+    frames = 1 if left.ndim == 2 else left.shape[0]
+    assert padded or frames == 1
+    H, W = left.shape[-2:]
     Dp = _round_up(num_disp, 128)
     Hp = _round_up(H, 8 if padded else _ROWS)
     Wq = _round_up(W + 2 * rx, 128)
     G = Hp // _ROWS
 
-    def prep(img):
+    def prep1(img):
         """list over dy in [-ry, ry] of (G, R, Wq) int32 row-plane arrays.
         int32 because Mosaic widens u8 as if signed (pixels >= 128 would
         flip the compares); lane l = image col l - rx (margins edge-pad)."""
@@ -188,6 +198,13 @@ def census_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
         p = jnp.pad(p, ((0, 0), (0, Wq - p.shape[1]))).astype(jnp.int32)
         return [p[ry + dy: ry + dy + Hp].reshape(G, _ROWS, Wq)
                 for dy in range(-ry, ry + 1)]
+
+    def prep(img):
+        if frames == 1:
+            return prep1(img if img.ndim == 2 else img[0])
+        per = [prep1(img[f]) for f in range(frames)]
+        return [jnp.concatenate([per[f][i] for f in range(frames)], axis=0)
+                for i in range(len(per[0]))]
 
     import numpy as _np
     lane = _np.arange(Dp)[None, :]
@@ -202,19 +219,21 @@ def census_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
                         memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel, n_dy=n_dy, rx=rx, d_real=num_disp,
                                max_cost=max_cost, w_real=W, h_real=H,
-                               align=padded, with_t=with_transposed)
+                               align=padded, with_t=with_transposed,
+                               g_frame=G)
+    Gt = frames * G
     out_specs = pl.BlockSpec((_ROWS, Wq, Dp), lambda t: (t, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((Hp, Wq, Dp), jnp.uint8)
+    out_shape = jax.ShapeDtypeStruct((frames * Hp, Wq, Dp), jnp.uint8)
     if with_transposed:
         out_specs = (out_specs,
                      pl.BlockSpec((Wq, 1, _ROWS, Dp), lambda t: (0, t, 0, 0),
                                   memory_space=pltpu.VMEM))
         out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((Wq, G, _ROWS, Dp), jnp.uint8))
+                     jax.ShapeDtypeStruct((Wq, Gt, _ROWS, Dp), jnp.uint8))
     res = pl.pallas_call(
         kernel,
-        grid=(G,),
+        grid=(Gt,),
         in_specs=[spec] * (2 * n_dy) + [
             pl.BlockSpec((1, Wq, Dp), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM)],
@@ -224,7 +243,7 @@ def census_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
     )(*operands)
     if with_transposed:
         C, Ct4 = res
-        return C, Ct4.reshape(Wq, Hp, Dp)
+        return C, Ct4.reshape(Wq, frames * Hp, Dp)
     if padded:
         return res
     return res[:H, rx:rx + W, :num_disp]

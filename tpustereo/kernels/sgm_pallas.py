@@ -74,7 +74,7 @@ def _min_lanes_full(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
-                  has_s_in, has_p2m, has_init, has_fin):
+                  has_s_in, has_p2m, has_init, has_fin, g_frame):
     """One grid step = R scanlines, walked serially in-register (reversed
     for reverse sweeps). rest = ([s_ref], [p2_ref], [init_ref], out_ref,
     [fin_ref], carry_ref) depending on flags."""
@@ -100,7 +100,12 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
     # depends on the predecessor row ONLY through q, so q is also the exact
     # state to hand off between strip chips in ring-tiled mode (init_ref /
     # fin_ref; dist/tiling._ring_sweep_pallas).
-    @pl.when(t == 0)
+    # Frame-stacked volumes (g_frame < num_programs) re-zero the carry at
+    # every frame seam: in execution order, row G-1-t (reverse) or t
+    # (forward) enters a new frame exactly when t % g_frame == 0, so one
+    # condition covers both sweep directions and the reset is an exact
+    # per-frame fresh path start.
+    @pl.when(jax.lax.rem(t, g_frame) == 0)
     def _():
         if init_ref is not None:
             carry_ref[...] = init_ref[...]
@@ -157,6 +162,7 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
               init_carry: jnp.ndarray | None = None,
               return_final_carry: bool = False,
               rows_per_step: int = 0,
+              frames: int = 1,
               interpret: bool = False):
     """One directional sweep over axis 0 of C (T, N, D) -> S (T, N, D) int16.
 
@@ -195,7 +201,10 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     fixed = 4 * K * N * D * (2 if init_carry is not None else 1)
     budget = 12 * 1024 * 1024 - fixed
     r_max = max(1, budget // max(1, 2 * per_row))
-    R = _fit_rows(T, min(rows_per_step, r_max))
+    assert frames == 1 or (init_carry is None and not return_final_carry), \
+        "ring carry hand-off is per-strip, not per-frame"
+    assert T % frames == 0
+    R = _fit_rows(T // frames, min(rows_per_step, r_max))
     G = T // R
 
     def imap(g):
@@ -223,7 +232,8 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
         _sweep_kernel, dxs=tuple(dxs), p1=p1, p2_const=p2, n_real=n_real,
         d_real=d_real, R=R, reverse=reverse,
         has_s_in=S_in is not None, has_p2m=p2_maps is not None,
-        has_init=init_carry is not None, has_fin=return_final_carry)
+        has_init=init_carry is not None, has_fin=return_final_carry,
+        g_frame=G // frames)
 
     out_specs = pl.BlockSpec((R, N, D), imap, memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((T, N, D), jnp.int16)
@@ -442,7 +452,8 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
 
 
 def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
-                      interpret: bool = False, dims=None, Ct=None):
+                      interpret: bool = False, dims=None, Ct=None,
+                      frames: int = 1):
     """Aggregation + WTA + uniqueness + subpixel + right-disparity, fully
     fused: down/up sweeps accumulate S, the transposed fwd sweep adds the E
     paths, and the bwd sweep consumes S and emits per-pixel outputs — the
@@ -459,8 +470,19 @@ def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     the d_L/d_R consistency comparison runs outside on the small maps
     (`ops.postproc.dr_consistency`). Bit-exact integer outputs vs the jnp
     ops; float disparity matches to ~1e-6 (Mosaic float rounding).
+
+    frames > 1 (requires dims + Ct from the multi-frame cost kernel):
+    C holds F frames stacked on the row axis, Hp rows each. The vertical
+    sweeps re-zero their carries at frame seams (exact per-frame path
+    starts); the horizontal sweeps need no change at all — stacked frames
+    occupy disjoint sublanes there, so their carries never interact. The
+    payoff is per-op issue overhead: a lone KITTI frame gives the
+    horizontal sweeps only ~47 sublane vregs per vector op, so op setup
+    dominates; F frames fatten every slab F-fold for the same op count.
+    Returns (F, H, W) maps.
     """
     if dims is None:
+        assert frames == 1
         H, W, D = C.shape
         Hp = _round_up(H, 8)
         Wq = _round_up(W, 128)
@@ -468,13 +490,15 @@ def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
         C = jnp.pad(C, ((0, Hp - H), (0, Wq - W), (0, Dp - D)))
     else:
         H, W, D = dims
-        Hp, Wq, Dp = C.shape
+        HF, Wq, Dp = C.shape
+        Hp = HF // frames
+    assert frames == 1 or not cfg.adaptive_p2
     down = [(1, 0), (1, 1), (1, -1)] if cfg.paths == 8 else [(1, 0)]
     up = [(-1, 0), (-1, 1), (-1, -1)] if cfg.paths == 8 else [(-1, 0)]
     dxs_v = tuple(dx for _, dx in down)
 
     sweep = functools.partial(sgm_sweep, p1=cfg.p1, p2=cfg.p2, n_real=W,
-                              d_real=D, interpret=interpret)
+                              d_real=D, frames=frames, interpret=interpret)
     S = sweep(C, None, dxs_v, False,
               p2_maps=_p2_stack(img, down, cfg, False, Hp, Wq))
     S = sweep(C, S, dxs_v, True,
@@ -497,6 +521,11 @@ def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     p2b = _p2_stack(img, [(0, -1)], cfg, True, Tt, H8)
     disp, valid, d_r = sweep_bwd_wta(Ct, St, cfg, w_real=W, d_real=D,
                                      p2_maps=p2b, interpret=interpret)
+    if frames > 1:
+        shp = (frames, Hp, disp.shape[1])
+        return (disp.reshape(shp)[:, :H, :W],
+                valid.reshape(shp)[:, :H, :W].astype(bool),
+                d_r.reshape(shp)[:, :H, :W])
     return (disp[:H, :W], valid[:H, :W].astype(bool), d_r[:H, :W])
 
 

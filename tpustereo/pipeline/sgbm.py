@@ -158,6 +158,67 @@ def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames="cfg")
+def sgbm_frames(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """Frame-stacked pipeline: (F, H, W) uint8 ×2 -> (F, H, W) float32.
+
+    All F frames ride ONE set of cost/sweep/WTA kernel launches, stacked on
+    the vertical scan axis (the sweep kernels re-zero carries at frame
+    seams; in the horizontal layout frames occupy disjoint sublanes, which
+    is the actual win — see `sgm_select_pallas`). The LR-consistency kernel
+    is row-independent, so it takes the frames as one stacked map; speckle
+    and median run per frame (component isolation / edge replication are
+    per-frame semantics). Bit-exact vs F runs of `sgbm`.
+
+    Falls back to a `lax.scan` of singles when the fused-kernel
+    preconditions don't hold.
+    """
+    F, H, W = left.shape
+    mode = _pallas_mode(cfg)
+    if (F > 1 and cfg.mode == "sgm" and mode != "off"
+            and cfg.census_bits <= 64 and cfg.num_disparities <= 128
+            and cfg.min_disparity == 0 and not cfg.adaptive_p2
+            and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096):
+        from tpustereo.kernels import (census_cost_volume_pallas,
+                                       dr_consistency_pallas,
+                                       sgm_select_pallas)
+        interp = mode == "interpret"
+        D = cfg.num_disparities
+        with jax.named_scope("cost_volume"):
+            C, Ct = census_cost_volume_pallas(
+                left, right, D, cfg.max_census_cost, cfg.census_window,
+                interpret=interp, padded=True, with_transposed=True)
+        with jax.named_scope("sgm_select"):
+            disp, valid, d_r = sgm_select_pallas(
+                C, cfg, left, interpret=interp, dims=(H, W, D), Ct=Ct,
+                frames=F)
+        with jax.named_scope("postproc"):
+            hits = None
+            if cfg.disp12_max_diff >= 0:
+                flat = lambda a: a.reshape(F * H, W)  # noqa: E731
+                if cfg.fill_mode == "hirschmuller":
+                    ok, hits = dr_consistency_pallas(
+                        flat(d_r), flat(disp), D, cfg.disp12_max_diff,
+                        interpret=interp, with_hits=True)
+                    hits = hits.reshape(F, H, W)
+                else:
+                    ok = dr_consistency_pallas(flat(d_r), flat(disp), D,
+                                               cfg.disp12_max_diff,
+                                               interpret=interp)
+                valid &= ok.reshape(F, H, W)
+            return jnp.stack([
+                _postproc(disp[f], valid[f], cfg,
+                          hits=None if hits is None else hits[f])
+                for f in range(F)])
+
+    def one(carry, lr):
+        l, r = lr
+        return carry, sgbm.__wrapped__(l, r, cfg)
+
+    _, out = jax.lax.scan(one, jnp.int32(0), (left, right))
+    return out
+
+
+@partial(jax.jit, static_argnames="cfg")
 def sgbm_batched(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """Batched pipeline: (B, H, W) uint8 ×2 -> (B, H, W) float32.
 
@@ -165,7 +226,21 @@ def sgbm_batched(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndar
     at full single-pair speed (vmapping the Pallas pipeline measured a
     ~25% per-frame tax even at B=1), and cross-chip batch parallelism
     happens by sharding the batch axis over the mesh 'data' axis before
-    this function runs per-shard (SURVEY.md §4.2)."""
+    this function runs per-shard (SURVEY.md §4.2). When
+    cfg.frames_per_step divides the batch, each scan step processes that
+    many frames through one set of kernel launches (`sgbm_frames`)."""
+    B, H, W = left.shape
+    F = cfg.frames_per_step
+    if F > 1 and B % F == 0:
+        def chunk(carry, lr):
+            l, r = lr
+            return carry, sgbm_frames.__wrapped__(l, r, cfg)
+
+        shp = (B // F, F, H, W)
+        _, out = jax.lax.scan(chunk, jnp.int32(0),
+                              (left.reshape(shp), right.reshape(shp)))
+        return out.reshape(B, H, W)
+
     def one(carry, lr):
         l, r = lr
         return carry, sgbm.__wrapped__(l, r, cfg)
