@@ -39,27 +39,42 @@ def _kernel(up_ref, mid_ref, dn_ref, out_ref):
 
 
 def median3_pallas(disp: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """(H, W) float32 -> (H, W) float32, 3×3 median with edge replication."""
-    H, W = disp.shape
+    """(H, W) float32 -> (H, W) float32, 3×3 median with edge replication.
+
+    Also accepts (F, H, W) stacked frames: the row-shifted views are built
+    per frame (edge replication stays per-frame exact) and concatenated on
+    the grid axis, so F frames cost one kernel launch instead of F."""
+    frames = 1 if disp.ndim == 2 else disp.shape[0]
+    H, W = disp.shape[-2:]
     Hp = _round_up(H, _ROWS)
     Wq = _round_up(W + 2, 128)
     G = Hp // _ROWS
 
-    # lane l = image col l-1 (one edge-replicated margin col each side,
-    # so the in-kernel ±1 rolls never wrap into real lanes)
-    p = jnp.pad(disp, ((1, 1 + Hp - H), (1, 1)), mode="edge")
-    p = jnp.pad(p, ((0, 0), (0, Wq - p.shape[1])))
-    rows = [p[dy:dy + Hp].reshape(G, _ROWS, Wq) for dy in range(3)]
+    def prep1(d):
+        # lane l = image col l-1 (one edge-replicated margin col each side,
+        # so the in-kernel ±1 rolls never wrap into real lanes)
+        p = jnp.pad(d, ((1, 1 + Hp - H), (1, 1)), mode="edge")
+        p = jnp.pad(p, ((0, 0), (0, Wq - p.shape[1])))
+        return [p[dy:dy + Hp].reshape(G, _ROWS, Wq) for dy in range(3)]
+
+    if frames == 1:
+        rows = prep1(disp if disp.ndim == 2 else disp[0])
+    else:
+        per = [prep1(disp[f]) for f in range(frames)]
+        rows = [jnp.concatenate([per[f][i] for f in range(frames)], axis=0)
+                for i in range(3)]
 
     spec = pl.BlockSpec((1, _ROWS, Wq), lambda t: (t, 0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _kernel,
-        grid=(G,),
+        grid=(frames * G,),
         in_specs=[spec] * 3,
         out_specs=pl.BlockSpec((_ROWS, Wq), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Hp, Wq), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((frames * Hp, Wq), jnp.float32),
         interpret=interpret,
     )(*rows)
-    return out[:H, 1:1 + W]
+    if disp.ndim == 2:
+        return out[:H, 1:1 + W]
+    return out.reshape(frames, Hp, Wq)[:, :H, 1:1 + W]

@@ -69,7 +69,7 @@ def _select_and_refine(S: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     return _postproc(disp, valid, cfg, hits=hits)
 
 
-def _postproc(disp, valid, cfg: Config, hits=None):
+def _postproc(disp, valid, cfg: Config, hits=None, median=True):
     valid = speckle(disp, valid, cfg)
     disp = jnp.where(valid, disp, INVALID)
     if cfg.fill_mode == "background":
@@ -81,7 +81,7 @@ def _postproc(disp, valid, cfg: Config, hits=None):
         # no hit ⇒ occlusion (golden.sgbm_numpy stage 'lr_hits')
         from tpustereo.ops import fill_hirschmuller
         disp = fill_hirschmuller(disp, hits)
-    if cfg.median_filter:
+    if median and cfg.median_filter:
         mode = _pallas_mode(cfg)
         if mode != "off":
             from tpustereo.kernels import median3_pallas
@@ -205,10 +205,17 @@ def sgbm_frames(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
                                                cfg.disp12_max_diff,
                                                interpret=interp)
                 valid &= ok.reshape(F, H, W)
-            return jnp.stack([
+            out = jnp.stack([
                 _postproc(disp[f], valid[f], cfg,
-                          hits=None if hits is None else hits[f])
+                          hits=None if hits is None else hits[f],
+                          median=False)
                 for f in range(F)])
+            if cfg.median_filter:
+                # one batched median launch for all F frames (per-frame
+                # edge replication preserved inside the kernel)
+                from tpustereo.kernels import median3_pallas
+                out = median3_pallas(out, interpret=interp)
+            return out
 
     def one(carry, lr):
         l, r = lr
