@@ -1,0 +1,117 @@
+"""Round-2 TPU batch #12: final preset table at the winning configuration.
+
+Reads r10/r11 results and applies their verdicts automatically:
+  * native popcount (r10): only if exact on chip AND the cost micro was
+    faster than swar;
+  * frames_per_step (r11): the fastest F whose stacked output was exact.
+Then re-verifies full-pipeline exactness at that combined configuration
+(it is a NEW program — popcount x frames combinations were measured
+separately) and produces the final preset sweep for BASELINE.md round 2.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+RESULTS_PATH = "scripts/tpu_r12_results.json"
+results = {}
+
+
+def rec(key, value):
+    results[key] = value
+    print(json.dumps({key: value}), flush=True)
+    with open(RESULTS_PATH, "w") as f:
+        json.dump(results, f, indent=1)
+
+
+def load(path):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def main():
+    t_start = time.time()
+    r10 = load("scripts/tpu_r10_results.json")
+    r11 = load("scripts/tpu_r11_results.json")
+
+    use_native = (
+        r10.get("exact/kitti_sgm8_nativepop", {}).get("n_mismatch_1e5", 1) == 0
+        and r10.get("exact/kitti_sgm8_9x7_nativepop", {}).get(
+            "n_mismatch_1e5", 1) == 0
+        and r10.get("micro/cost_kernel_native_ms", 1e9)
+        < r10.get("micro/cost_kernel_swar_ms", 0))
+    best_f, best_fps = 1, 0.0
+    for F in (1, 2, 4):
+        row = r11.get(f"bench/kitti_sgm8_b8_F{F}")
+        if isinstance(row, dict) and row.get("value", 0) > best_fps:
+            ok = (F == 1 or r11.get(f"exact/kitti_sgm8_frames{F}", {}).get(
+                "n_mismatch_1e5", 1) == 0)
+            if ok:
+                best_f, best_fps = F, row["value"]
+    rec("decisions", {"popcount": "native" if use_native else "swar",
+                      "frames_per_step": best_f,
+                      "f1_vs_best": best_fps})
+
+    import jax
+    import jax.numpy as jnp
+
+    if use_native:
+        import tpustereo.kernels.cost_pallas as cost_pallas
+        cost_pallas.POPCOUNT_IMPL = "native"
+    rec("device", str(jax.devices()[0].device_kind))
+
+    from tpustereo.config import PRESETS
+    from tpustereo.data.synthetic import synthetic_pair
+    from tpustereo.eval.bench import run_benchmark
+    from tpustereo.pipeline.sgbm import sgbm, sgbm_frames
+
+    kitti = PRESETS["kitti_sgm8"].replace(frames_per_step=best_f)
+    mb = PRESETS["middlebury_sgm4"]
+
+    # ---- 1. exactness at the combined configuration ----------------------
+    pairs = [synthetic_pair((375, 1242), disparity=30.0 + 10 * f, slope=0.02,
+                            seed=f) for f in range(max(best_f, 1))]
+    Ls = jnp.asarray(np.stack([p[0] for p in pairs]))
+    Rs = jnp.asarray(np.stack([p[1] for p in pairs]))
+    singles = np.stack([
+        np.asarray(sgbm(Ls[f], Rs[f], kitti.replace(backend="jnp")))
+        for f in range(max(best_f, 1))])
+    if best_f > 1:
+        out = np.asarray(sgbm_frames(Ls, Rs, kitti))
+    else:
+        out = np.asarray(sgbm(Ls[0], Rs[0], kitti))[None]
+    n_bad = int((np.abs(out - singles) > 1e-5).sum())
+    rec("exact/final_config", {
+        "max_abs": float(np.abs(out - singles).max()),
+        "n_mismatch_1e5": n_bad, "n_px": int(out.size)})
+    if n_bad:
+        rec("verdict", "COMBINED CONFIG INEXACT — keep preset defaults")
+        return 0
+
+    # ---- 2. final sweep --------------------------------------------------
+    for batch in (8, 16):
+        r = run_benchmark(kitti, shape=(375, 1242), batch=batch, iters=20)
+        rec(f"bench/kitti_sgm8_b{batch}_final",
+            {k: r[k] for k in ("value", "ms_per_frame", "vs_baseline")})
+    r = run_benchmark(mb.replace(frames_per_step=best_f), shape=(375, 1242),
+                      batch=8, iters=15)
+    rec("bench/middlebury_sgm4_b8_final",
+        {k: r[k] for k in ("value", "ms_per_frame")})
+    r = run_benchmark(mb.replace(frames_per_step=min(best_f, 2)),
+                      shape=(750, 1500), batch=2, iters=5)
+    rec("bench/middlebury_half_750x1500_final",
+        {k: r[k] for k in ("value", "ms_per_frame")})
+
+    rec("total_wall_s", round(time.time() - t_start, 1))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
