@@ -264,3 +264,22 @@ def test_sgbm_batched_frames_per_step(rng):
     a = np.asarray(sgbm_batched(L, R, cfg))
     b = np.asarray(sgbm_batched(L, R, cfg.replace(frames_per_step=2)))
     np.testing.assert_array_equal(a, b)
+
+
+def test_sgbm_frames_4path(rng):
+    """Frame stacking with the 4-path preset shape (K=1 vertical sweeps)."""
+    from tpustereo.data.synthetic import synthetic_pair
+    from tpustereo.pipeline.sgbm import sgbm_frames
+    cfg = Config(num_disparities=32, paths=4, backend="pallas",
+                 speckle_window_size=30)
+    Ls, Rs = [], []
+    for f in range(2):
+        L, R, _, _ = synthetic_pair((38, 53), disparity=6.0 + f, slope=0.05,
+                                    seed=300 + f)
+        Ls.append(L)
+        Rs.append(R)
+    Ls, Rs = jnp.asarray(np.stack(Ls)), jnp.asarray(np.stack(Rs))
+    stacked = np.asarray(sgbm_frames(Ls, Rs, cfg))
+    singles = np.stack([np.asarray(sgbm(Ls[f], Rs[f], cfg))
+                        for f in range(2)])
+    np.testing.assert_array_equal(stacked, singles)
