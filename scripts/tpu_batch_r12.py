@@ -109,6 +109,27 @@ def main():
                       shape=(750, 1500), batch=2, iters=5)
     rec("bench/middlebury_half_750x1500_final",
         {k: r[k] for k in ("value", "ms_per_frame")})
+    # configs 1-2 batched: their b1 numbers are dispatch-bound at tiny
+    # geometry (SAD b1 ~183 fps vs the 208-fps CPU proxy); the batched
+    # throughput is the honest serving comparison, same as config 4's
+    # SAD volume was rewritten gather-free (log-shear + window sums):
+    # exactness of the whole config-1 pipeline on chip, then b1/b8
+    sad = PRESETS["tsukuba_sad"]
+    Lt, Rt, _, _ = synthetic_pair((288, 384), disparity=20.0, slope=0.02,
+                                  seed=3)
+    Lt, Rt = jnp.asarray(Lt), jnp.asarray(Rt)
+    d_pal = np.asarray(sgbm(Lt, Rt, sad))
+    d_jnp = np.asarray(sgbm(Lt, Rt, sad.replace(backend="jnp")))
+    rec("exact/tsukuba_sad_shear", {
+        "max_abs": float(np.abs(d_pal - d_jnp).max()),
+        "n_mismatch_1e5": int((np.abs(d_pal - d_jnp) > 1e-5).sum())})
+    for batch in (1, 8):
+        r = run_benchmark(sad, shape=(288, 384), batch=batch, iters=15)
+        rec(f"bench/tsukuba_sad_b{batch}",
+            {k: r[k] for k in ("value", "ms_per_frame")})
+    r = run_benchmark(PRESETS["middlebury_census_wta"], shape=(375, 621),
+                      batch=8, iters=15)
+    rec("bench/census_wta_b8", {k: r[k] for k in ("value", "ms_per_frame")})
 
     rec("total_wall_s", round(time.time() - t_start, 1))
 
