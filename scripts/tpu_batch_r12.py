@@ -127,8 +127,22 @@ def main():
         r = run_benchmark(sad, shape=(288, 384), batch=batch, iters=15)
         rec(f"bench/tsukuba_sad_b{batch}",
             {k: r[k] for k in ("value", "ms_per_frame")})
-    r = run_benchmark(PRESETS["middlebury_census_wta"], shape=(375, 621),
-                      batch=8, iters=15)
+    cw = PRESETS["middlebury_census_wta"]
+    if best_f > 1:
+        # stacked census_wta exactness gate, then the batched number
+        pairs = [synthetic_pair((375, 621), disparity=25.0 + 5 * f,
+                                slope=0.02, seed=10 + f)
+                 for f in range(best_f)]
+        Lc = jnp.asarray(np.stack([p[0] for p in pairs]))
+        Rc = jnp.asarray(np.stack([p[1] for p in pairs]))
+        st = np.asarray(sgbm_frames(Lc, Rc, cw))
+        si = np.stack([np.asarray(sgbm(Lc[f], Rc[f], cw))
+                       for f in range(best_f)])
+        n_bad = int((np.abs(st - si) > 1e-5).sum())
+        rec("exact/census_wta_frames", {"n_mismatch_1e5": n_bad})
+        if n_bad == 0:
+            cw = cw.replace(frames_per_step=best_f)
+    r = run_benchmark(cw, shape=(375, 621), batch=8, iters=15)
     rec("bench/census_wta_b8", {k: r[k] for k in ("value", "ms_per_frame")})
 
     rec("total_wall_s", round(time.time() - t_start, 1))

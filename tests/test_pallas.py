@@ -283,3 +283,23 @@ def test_sgbm_frames_4path(rng):
     singles = np.stack([np.asarray(sgbm(Ls[f], Rs[f], cfg))
                         for f in range(2)])
     np.testing.assert_array_equal(stacked, singles)
+
+
+def test_sgbm_frames_census_wta(rng):
+    """Frame-stacked census_wta path == singles (row-local WTA kernel)."""
+    from tpustereo.data.synthetic import synthetic_pair
+    from tpustereo.pipeline.sgbm import sgbm_frames
+    cfg = Config(mode="census_wta", num_disparities=32, backend="pallas",
+                 disp12_max_diff=-1, speckle_window_size=0,
+                 median_filter=False)
+    Ls, Rs = [], []
+    for f in range(3):
+        L, R, _, _ = synthetic_pair((29, 44), disparity=4.0 + 2 * f,
+                                    slope=0.06, seed=400 + f)
+        Ls.append(L)
+        Rs.append(R)
+    Ls, Rs = jnp.asarray(np.stack(Ls)), jnp.asarray(np.stack(Rs))
+    stacked = np.asarray(sgbm_frames(Ls, Rs, cfg))
+    singles = np.stack([np.asarray(sgbm(Ls[f], Rs[f], cfg))
+                        for f in range(3)])
+    np.testing.assert_array_equal(stacked, singles)

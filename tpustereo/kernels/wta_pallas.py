@@ -119,7 +119,7 @@ def _kernel(s_ref, disp_ref, valid_ref, *, cfg: Config, w_real: int,
 
 
 def wta_lr_pallas(S: jnp.ndarray, cfg: Config, interpret: bool = False,
-                  dims=None):
+                  dims=None, frames: int = 1):
     """S: (H, W, D) int -> (disp float32 (H, W), valid bool (H, W)).
 
     Fuses `ops.wta` and `ops.lr_check` (bit-exact vs both); one pass over S.
@@ -131,8 +131,14 @@ def wta_lr_pallas(S: jnp.ndarray, cfg: Config, interpret: bool = False,
     reads the frame directly instead (safe: census costs <= 64 < 128, so
     the Mosaic unsigned-widening hazard cannot trigger, and the shears'
     w_real masks already cover arbitrary column padding).
+
+    frames > 1 (requires dims): S holds F frames stacked on the row axis
+    (Hp rows each, from the multi-frame cost kernel). Every per-pixel
+    quantity here is row-local, so stacking is exact by construction;
+    returns (F, H, W) maps from one launch set.
     """
     if dims is None:
+        assert frames == 1
         H, W, D = S.shape
         Dp = _round_up(D, 128)
         Wp = _round_up(W, 16)
@@ -141,12 +147,13 @@ def wta_lr_pallas(S: jnp.ndarray, cfg: Config, interpret: bool = False,
                      ((0, Hp - H), (0, Wp - W), (0, Dp - D)))
     else:
         H, W, D = dims
-        Hp, Wp, Dp = S.shape
+        HF, Wp, Dp = S.shape
+        Hp = HF // frames
         Sp = S
 
     rows = _ROWS if Wp <= 2048 else 1   # int32 shear temps scale with R*Wp
     kernel = functools.partial(_kernel, cfg=cfg, w_real=W, d_real=D)
-    G = Hp // rows
+    G = frames * Hp // rows
     # outputs are (G, R, Wp) so the block's trailing dims (R, Wp) equal the
     # array dims (Mosaic's tiling rule); reshaped to (Hp, Wp) after.
     disp, valid = pl.pallas_call(
@@ -162,6 +169,10 @@ def wta_lr_pallas(S: jnp.ndarray, cfg: Config, interpret: bool = False,
                    jax.ShapeDtypeStruct((G, rows, Wp), jnp.int32)),
         interpret=interpret,
     )(Sp)
+    if frames > 1:
+        disp = disp.reshape(frames, Hp, Wp)
+        valid = valid.reshape(frames, Hp, Wp)
+        return disp[:, :H, :W], valid[:, :H, :W].astype(bool)
     disp = disp.reshape(Hp, Wp)
     valid = valid.reshape(Hp, Wp)
     return disp[:H, :W], valid[:H, :W].astype(bool)

@@ -174,6 +174,25 @@ def sgbm_frames(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
     """
     F, H, W = left.shape
     mode = _pallas_mode(cfg)
+    if (F > 1 and cfg.mode == "census_wta" and mode != "off"
+            and cfg.census_bits <= 64 and cfg.num_disparities <= 128
+            and cfg.min_disparity == 0 and cfg.fill_mode != "hirschmuller"):
+        # stacked analog of sgbm's fused census_wta path: the WTA kernel is
+        # row-local, so F frames ride one cost + one WTA launch set
+        from tpustereo.kernels import census_cost_volume_pallas, wta_lr_pallas
+        interp = mode == "interpret"
+        C = census_cost_volume_pallas(left, right, cfg.num_disparities,
+                                      cfg.max_census_cost, cfg.census_window,
+                                      interpret=interp, padded=True)
+        disp, valid = wta_lr_pallas(C, cfg, interpret=interp,
+                                    dims=(H, W, cfg.num_disparities),
+                                    frames=F)
+        out = jnp.stack([_postproc(disp[f], valid[f], cfg, median=False)
+                         for f in range(F)])
+        if cfg.median_filter:
+            from tpustereo.kernels import median3_pallas
+            out = median3_pallas(out, interpret=interp)
+        return out
     if (F > 1 and cfg.mode == "sgm" and mode != "off"
             and cfg.census_bits <= 64 and cfg.num_disparities <= 128
             and cfg.min_disparity == 0 and not cfg.adaptive_p2
