@@ -128,11 +128,17 @@ def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
                                        sgm_select_pallas)
         interp = mode == "interpret"
         H, W = left.shape
+        # fused transposed emission only for single-plane censuses: with
+        # two bitplanes (census_bits > 32) the extra double-buffered Ct
+        # block pushed the cost kernel 952K over the 16M scoped-VMEM limit
+        # on chip (r10 batch) — those configs keep the standalone transpose
+        fuse_ct = cfg.census_bits <= 32
         with jax.named_scope("cost_volume"):
-            C, Ct = census_cost_volume_pallas(
+            res = census_cost_volume_pallas(
                 left, right, cfg.num_disparities, cfg.max_census_cost,
                 cfg.census_window, interpret=interp, padded=True,
-                with_transposed=True)
+                with_transposed=fuse_ct)
+            C, Ct = res if fuse_ct else (res, None)
         with jax.named_scope("sgm_select"):
             disp, valid, d_r = sgm_select_pallas(
                 C, cfg, left, interpret=interp,
@@ -202,10 +208,12 @@ def sgbm_frames(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
                                        sgm_select_pallas)
         interp = mode == "interpret"
         D = cfg.num_disparities
+        fuse_ct = cfg.census_bits <= 32  # see sgbm: 2-plane + Ct OOMs VMEM
         with jax.named_scope("cost_volume"):
-            C, Ct = census_cost_volume_pallas(
+            res = census_cost_volume_pallas(
                 left, right, D, cfg.max_census_cost, cfg.census_window,
-                interpret=interp, padded=True, with_transposed=True)
+                interpret=interp, padded=True, with_transposed=fuse_ct)
+            C, Ct = res if fuse_ct else (res, None)
         with jax.named_scope("sgm_select"):
             disp, valid, d_r = sgm_select_pallas(
                 C, cfg, left, interpret=interp, dims=(H, W, D), Ct=Ct,
