@@ -15,12 +15,13 @@ import jax  # noqa: E402
 # JAX_PLATFORMS env var; the config update below wins over it.
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the test suite is compile-bound on this
-# 1-vCPU box; caching XLA executables across runs cuts reruns from minutes
-# to seconds.
-jax.config.update("jax_compilation_cache_dir", "/tmp/tpustereo_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NOTE: the persistent compilation cache that used to be enabled here is
+# OFF deliberately. jaxlib's CPU executable serializer segfaults on this
+# box for some executables (crash inside compilation_cache.
+# put_executable_and_time, observed 2026-08-17 killing the suite at
+# varying tests; its AOT loader also warns about machine-feature
+# mismatches). Reruns pay full compiles (~15 min) but the suite is
+# deterministic again.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
