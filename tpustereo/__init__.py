@@ -22,9 +22,21 @@ __version__ = "0.1.0"
 def enable_compilation_cache(path: str | None = None) -> None:
     """Persistent XLA compilation cache — compile-once across processes.
     Called lazily by the API/CLI; safe to call before or after jax import
-    (it only sets jax.config values)."""
+    (it only sets jax.config values).
+
+    No-op on the CPU backend: jaxlib's CPU executable serializer segfaults
+    on this box (observed 2026-08-17 — crash inside
+    compilation_cache.put_executable_and_time, nondeterministically killing
+    the test suite; its AOT loader also warns of machine-feature
+    mismatches). The cache matters on the TPU path, where server-side
+    compiles cost 5-30 min; CPU compiles are cheap enough to repeat."""
     import jax
 
+    # config-only check: jax.default_backend() would initialise the
+    # backend at import time (api.py calls this on import; imports must
+    # stay backend-free for the multihost bootstrap paths)
+    if str(jax.config.jax_platforms or "").startswith("cpu"):
+        return
     path = path or _os.environ.get("TPUSTEREO_CACHE_DIR",
                                    "/tmp/tpustereo_jax_cache")
     jax.config.update("jax_compilation_cache_dir", path)

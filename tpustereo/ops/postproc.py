@@ -244,11 +244,10 @@ def component_big(lab: jnp.ndarray, thresh: int) -> jnp.ndarray:
     return (jax.lax.sort(packed) & 1).astype(bool).reshape(H, W)
 
 
-def speckle(disp: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> jnp.ndarray:
-    """Invalidate components smaller than speckle_window_size (mirrors
-    golden.speckle_numpy: 4-connectivity, |Δd| <= speckle_range)."""
-    if cfg.speckle_window_size <= 0:
-        return valid
+def speckle_labels(disp: jnp.ndarray, valid: jnp.ndarray,
+                   cfg: Config) -> jnp.ndarray:
+    """Connected-component labels of the speckle graph (4-connectivity,
+    valid pixels, |Δd| <= speckle_range): min linear index per component."""
     rng = jnp.float32(cfg.speckle_range)
     conn_h = valid[:, :-1] & valid[:, 1:] & (jnp.abs(disp[:, :-1] - disp[:, 1:]) <= rng)
     conn_v = valid[:-1, :] & valid[1:, :] & (jnp.abs(disp[:-1, :] - disp[1:, :]) <= rng)
@@ -257,12 +256,38 @@ def speckle(disp: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     if mode != "off":
         # handles oversized images itself (banded bands + jnp refinement)
         from tpustereo.kernels import connected_component_labels_pallas
-        lab = connected_component_labels_pallas(
+        return connected_component_labels_pallas(
             conn_h, conn_v, interpret=(mode == "interpret"))
-    else:
-        lab = connected_component_labels(conn_h, conn_v)
+    return connected_component_labels(conn_h, conn_v)
+
+
+def speckle(disp: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """Invalidate components smaller than speckle_window_size (mirrors
+    golden.speckle_numpy: 4-connectivity, |Δd| <= speckle_range)."""
+    if cfg.speckle_window_size <= 0:
+        return valid
+    lab = speckle_labels(disp, valid, cfg)
     big = component_big(lab, cfg.speckle_window_size)
     return valid & big
+
+
+def speckle_frames(disp: jnp.ndarray, valid: jnp.ndarray,
+                   cfg: Config) -> jnp.ndarray:
+    """`speckle` over (F, H, W) stacked frames with ONE sort set: labels
+    are computed per frame (the CC kernel is VMEM-sized per image), offset
+    by f*H*W so they never collide, and `component_big` — whose two global
+    sorts are the expensive half of speckle (r13/r14) — runs once over the
+    stacked labelling. Exact: offsets keep components frame-disjoint and
+    sizes are per-component regardless of array shape."""
+    if cfg.speckle_window_size <= 0:
+        return valid
+    F, H, W = disp.shape
+    assert F * H * W < (1 << 31)
+    labs = [speckle_labels(disp[f], valid[f], cfg) + f * (H * W)
+            for f in range(F)]
+    big = component_big(jnp.concatenate(labs, axis=0),
+                        cfg.speckle_window_size)
+    return valid & big.reshape(F, H, W)
 
 
 # ---------------------------------------------------------------------------

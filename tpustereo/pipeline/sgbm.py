@@ -69,7 +69,31 @@ def _select_and_refine(S: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     return _postproc(disp, valid, cfg, hits=hits)
 
 
-def _postproc(disp, valid, cfg: Config, hits=None, median=True):
+def _postproc_frames(disp, valid, cfg: Config, hits=None, interp=False):
+    """(F, H, W) postproc: speckle with one cross-frame sort set
+    (`ops.speckle_frames`), per-frame fills, one batched median launch.
+    Bit-exact vs F runs of `_postproc`."""
+    from tpustereo.ops import speckle_frames
+    F = disp.shape[0]
+    valid = speckle_frames(disp, valid, cfg)
+    outs = []
+    for f in range(F):
+        d = jnp.where(valid[f], disp[f], INVALID)
+        if cfg.fill_mode == "background":
+            from tpustereo.ops import fill_background
+            d = fill_background(d)
+        elif cfg.fill_mode == "hirschmuller":
+            from tpustereo.ops import fill_hirschmuller
+            d = fill_hirschmuller(d, hits[f])
+        outs.append(d)
+    out = jnp.stack(outs)
+    if cfg.median_filter:
+        from tpustereo.kernels import median3_pallas
+        out = median3_pallas(out, interpret=interp)
+    return out
+
+
+def _postproc(disp, valid, cfg: Config, hits=None):
     valid = speckle(disp, valid, cfg)
     disp = jnp.where(valid, disp, INVALID)
     if cfg.fill_mode == "background":
@@ -81,7 +105,7 @@ def _postproc(disp, valid, cfg: Config, hits=None, median=True):
         # no hit ⇒ occlusion (golden.sgbm_numpy stage 'lr_hits')
         from tpustereo.ops import fill_hirschmuller
         disp = fill_hirschmuller(disp, hits)
-    if median and cfg.median_filter:
+    if cfg.median_filter:
         mode = _pallas_mode(cfg)
         if mode != "off":
             from tpustereo.kernels import median3_pallas
@@ -193,12 +217,7 @@ def sgbm_frames(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
         disp, valid = wta_lr_pallas(C, cfg, interpret=interp,
                                     dims=(H, W, cfg.num_disparities),
                                     frames=F)
-        out = jnp.stack([_postproc(disp[f], valid[f], cfg, median=False)
-                         for f in range(F)])
-        if cfg.median_filter:
-            from tpustereo.kernels import median3_pallas
-            out = median3_pallas(out, interpret=interp)
-        return out
+        return _postproc_frames(disp, valid, cfg, interp=interp)
     if (F > 1 and cfg.mode == "sgm" and mode != "off"
             and cfg.census_bits <= 64 and cfg.num_disparities <= 128
             and cfg.min_disparity == 0 and not cfg.adaptive_p2
@@ -232,17 +251,8 @@ def sgbm_frames(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
                                                cfg.disp12_max_diff,
                                                interpret=interp)
                 valid &= ok.reshape(F, H, W)
-            out = jnp.stack([
-                _postproc(disp[f], valid[f], cfg,
-                          hits=None if hits is None else hits[f],
-                          median=False)
-                for f in range(F)])
-            if cfg.median_filter:
-                # one batched median launch for all F frames (per-frame
-                # edge replication preserved inside the kernel)
-                from tpustereo.kernels import median3_pallas
-                out = median3_pallas(out, interpret=interp)
-            return out
+            return _postproc_frames(disp, valid, cfg, hits=hits,
+                                    interp=interp)
 
     def one(carry, lr):
         l, r = lr
