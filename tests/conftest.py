@@ -74,3 +74,13 @@ def hilbert_path_mask(order: int) -> np.ndarray:
         mask[y0 + y1, x0 + x1] = True  # midpoint connector
     mask[2 * cells[-1][0], 2 * cells[-1][1]] = True
     return mask
+
+
+def pytest_collection_modifyitems(session, config, items):
+    """Workaround for a jaxlib CPU-compiler crash on this box: compiling
+    the pinned-metrics programs late in a process that has already
+    compiled hundreds of executables segfaults inside
+    backend_compile_and_load (observed repeatedly 2026-08-17, always at
+    test_pinned_metrics once the suite grew past ~133 tests; the same
+    tests pass in isolation or early). Stable sort → only these move."""
+    items.sort(key=lambda it: 0 if "test_pinned_metrics" in it.nodeid else 1)
