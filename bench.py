@@ -29,8 +29,11 @@ def main():
     # lax.scan, which hides the per-dispatch boundary stalls a single-frame
     # loop pays (measured 47.7 fps at B=1 vs 60.1 at B=4, same math) — the
     # honest serving number. fps is per frame: batch / loop-time.
+    # The preset carries frames_per_step=4: four frames per kernel-launch
+    # set (fattens the horizontal sweeps' sublane slabs 4x — measured
+    # fastest and bit-exact vs singles, scripts/tpu_r15_results.json).
     cfg = PRESETS["kitti_sgm8"]
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else cfg.batch_size
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     record = run_benchmark(cfg, shape=(375, 1242), batch=batch, iters=iters)
     print(json.dumps({

@@ -7,7 +7,8 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
@@ -27,6 +28,20 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 from tpustereo.data.synthetic import synthetic_pair  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_executables_between_modules():
+    """jaxlib 0.9.0's CPU backend segfaults inside backend_compile_and_load
+    once a process accumulates a few hundred live compiled executables
+    (observed repeatedly 2026-08-17/18: the suite dies near the ~72nd test
+    regardless of which test that is; the same tests pass in isolation, and
+    a run that errored out of ~10 heavy compiles early survived). Dropping
+    compiled programs between modules keeps the live-executable count
+    bounded. Within-module caching (the expensive fixtures) is preserved."""
+    yield
+    import jax
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")

@@ -303,3 +303,62 @@ def test_sgbm_frames_census_wta(rng):
     singles = np.stack([np.asarray(sgbm(Ls[f], Rs[f], cfg))
                         for f in range(3)])
     np.testing.assert_array_equal(stacked, singles)
+
+
+@pytest.mark.parametrize("n", [256, 700, 4096])
+def test_bitonic_sort_pallas(rng, n):
+    """Keys-only and pair mode vs numpy, with heavy key duplication (the
+    speckle labelling regime). Pair mode is unstable but must stay a
+    permutation with correct key-payload pairing."""
+    from tpustereo.kernels import bitonic_sort_pallas
+    k = rng.integers(0, 50, (n,)).astype(np.int32)
+    s = np.asarray(bitonic_sort_pallas(jnp.asarray(k), interpret=True))
+    np.testing.assert_array_equal(s, np.sort(k))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sk, sp = bitonic_sort_pallas(jnp.asarray(k), idx, interpret=True)
+    sk, sp = np.asarray(sk), np.asarray(sp)
+    np.testing.assert_array_equal(sk, np.sort(k))
+    assert sorted(sp.tolist()) == list(range(n))
+    np.testing.assert_array_equal(k[sp], sk)
+
+
+def test_component_big_bitonic_matches_lax(rng):
+    """component_big via the bitonic kernel == the lax.sort formulation ==
+    brute-force sizes, on a labelling with many small components."""
+    from tpustereo.ops.postproc import component_big, component_sizes
+    from tpustereo.ops.postproc import connected_component_labels
+    H, W = 40, 72
+    d = (rng.random((H, W)) < 0.55)
+    conn_h = d[:, :-1] & d[:, 1:]
+    conn_v = d[:-1, :] & d[1:, :]
+    lab = connected_component_labels(jnp.asarray(conn_h), jnp.asarray(conn_v))
+    for thresh in (1, 5, 40):
+        ref = np.asarray(component_big(lab, thresh))
+        pal = np.asarray(component_big(lab, thresh, use_pallas=True,
+                                       interpret=True))
+        np.testing.assert_array_equal(ref, pal)
+    sizes = np.asarray(component_sizes(lab))
+    np.testing.assert_array_equal(
+        np.asarray(component_big(lab, 5, use_pallas=True, interpret=True)),
+        sizes >= 5)
+
+
+def test_sweep_emit_transposed_matches_transpose(small_pair):
+    """The up-sweep's fused transposed emission == sweep + tile transpose."""
+    from tpustereo.kernels import sgm_sweep, transpose_hw_pallas
+    cfg = Config(num_disparities=128, paths=8)
+    C = _volume(small_pair, cfg)
+    H, W, D = C.shape
+    Hp = (H + 7) // 8 * 8
+    Wq = (W + 127) // 128 * 128
+    Cp = jnp.pad(C, ((0, Hp - H), (0, Wq - W), (0, 0)))
+    dxs = (0, 1, -1)
+    S = sgm_sweep(Cp, None, dxs, False, p1=cfg.p1, p2=cfg.p2, n_real=W,
+                  d_real=D, interpret=True)
+    up = sgm_sweep(Cp, S, dxs, True, p1=cfg.p1, p2=cfg.p2, n_real=W,
+                   d_real=D, interpret=True)
+    ref = np.asarray(transpose_hw_pallas(up, interpret=True, trim=False))
+    fused = np.asarray(sgm_sweep(Cp, S, dxs, True, p1=cfg.p1, p2=cfg.p2,
+                                 n_real=W, d_real=D, emit_transposed=True,
+                                 interpret=True))
+    np.testing.assert_array_equal(ref, fused)

@@ -161,10 +161,14 @@ PRESETS: Dict[str, Config] = {
         disp12_max_diff=1, speckle_window_size=100, speckle_range=2,
     ),
     # 4: SGM 8-path full pipeline, KITTI 2015, batched pairs.
+    # frames_per_step=4: four frames per kernel-launch set (fattens the
+    # horizontal sweeps' sublane slabs 4x; measured fastest and bit-exact
+    # vs singles — scripts/tpu_r15_results.json). Batched entry points
+    # fall back gracefully whenever the batch is not a multiple of 4.
     "kitti_sgm8": Config(
         mode="sgm", paths=8, num_disparities=128, subpixel=True,
         disp12_max_diff=1, speckle_window_size=100, speckle_range=2,
-        batch_size=4,
+        batch_size=4, frames_per_step=4,
     ),
     # 5: Multi-host tiled SGM over a KITTI odometry sequence.
     "kitti_odometry": Config(

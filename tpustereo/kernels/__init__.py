@@ -13,6 +13,10 @@ from tpustereo.kernels.sgm_pallas import (  # noqa: F401
     sweep_bwd_wta,
 )
 from tpustereo.kernels.wta_pallas import wta_lr_pallas  # noqa: F401
+from tpustereo.kernels.bitonic_pallas import (  # noqa: F401
+    bitonic_feasible,
+    bitonic_sort_pallas,
+)
 from tpustereo.kernels.lr_pallas import dr_consistency_pallas  # noqa: F401
 from tpustereo.kernels.cost_pallas import census_cost_volume_pallas  # noqa: F401
 from tpustereo.kernels.cc_pallas import connected_component_labels_pallas  # noqa: F401

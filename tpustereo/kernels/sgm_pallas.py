@@ -62,6 +62,19 @@ def _roll(x, shift: int, axis: int):
     return pltpu.roll(x, shift % x.shape[axis], axis=axis)
 
 
+def emit_transposed_feasible(T: int, N: int, D: int, K: int,
+                             has_s_in: bool, frames: int = 1) -> bool:
+    """True when the transposed-emission sweep fits VMEM at R=4 — the
+    rank-4 output block needs >= 4 rows per grid step (R=1 would make the
+    block single-sublane, which Mosaic handles wrongly), and wide volumes
+    (true-Middlebury W) can push the double-buffered slabs past budget.
+    Mirrors sgm_sweep's budget arithmetic."""
+    per_row = N * D * (1 + (2 if has_s_in else 0) + 2)
+    fixed = 4 * K * N * D
+    r_max = max(1, (12 * 1024 * 1024 - fixed) // max(1, 2 * per_row))
+    return r_max >= 4 and (T // frames) % 4 == 0
+
+
 def _min_lanes_full(x: jnp.ndarray) -> jnp.ndarray:
     """All-lanes min, replicated to every lane, via a log roll-tree over the
     minor axis (must be 128 wide). Mosaic's native lane reduce + broadcast
@@ -74,10 +87,19 @@ def _min_lanes_full(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
-                  has_s_in, has_p2m, has_init, has_fin, g_frame):
+                  has_s_in, has_p2m, has_init, has_fin, g_frame,
+                  emit_t=False):
     """One grid step = R scanlines, walked serially in-register (reversed
     for reverse sweeps). rest = ([s_ref], [p2_ref], [init_ref], out_ref,
-    [fin_ref], carry_ref) depending on flags."""
+    [fin_ref], carry_ref) depending on flags.
+
+    emit_t: the output block is the TRANSPOSED (N, 1, R, D) slice of a
+    rank-4 (N, G, R, D) array — a free reshape of the horizontal-sweep
+    layout (N, T, D) — so the final vertical sweep hands the S volume to
+    the horizontal sweeps without the standalone transpose kernel's HBM
+    round trip (same rank-4 whole-array-dim trick as the cost kernel's
+    fused-Ct emission; the in-register (R, N, D) -> (N, R, D) shuffle is
+    the same relayout transpose_hw_pallas would have done)."""
     idx = 0
     s_ref = rest[idx] if has_s_in else None
     idx += 1 if has_s_in else 0
@@ -115,6 +137,7 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 0)
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
 
+    outs = [None] * R if emit_t else None
     order = range(R - 1, -1, -1) if reverse else range(R)
     for j in order:
         c = c_ref[j].astype(jnp.int32)
@@ -148,7 +171,13 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
         out = total.astype(jnp.int16)
         if s_ref is not None:
             out = out + s_ref[j]
-        out_ref[j] = out
+        if emit_t:
+            outs[j] = out
+        else:
+            out_ref[j] = out
+
+    if emit_t:
+        out_ref[...] = jnp.stack(outs, axis=1)[:, None]
 
     if fin_ref is not None:
         @pl.when(t == pl.num_programs(0) - 1)
@@ -163,6 +192,7 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
               return_final_carry: bool = False,
               rows_per_step: int = 0,
               frames: int = 1,
+              emit_transposed: bool = False,
               interpret: bool = False):
     """One directional sweep over axis 0 of C (T, N, D) -> S (T, N, D) int16.
 
@@ -182,10 +212,21 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     ~16 MB VMEM budget admits — double-buffered C/S_in/out slabs scale with
     R*N, so wide volumes (true Middlebury W~3000, or tall transposed
     layouts) must take smaller steps than KITTI-size ones.
+
+    emit_transposed: return S in the horizontal-sweep layout (N, T, D)
+    instead of (T, N, D) — the rank-4 output trick (see _sweep_kernel);
+    used by the final vertical sweep so the standalone S transpose
+    disappears from the pipeline. Incompatible with the ring hand-off.
     """
     T, N, D = C.shape
     K = len(dxs)
     assert D % 128 == 0 and N % 8 == 0, (N, D)
+    if emit_transposed:
+        assert init_carry is None and not return_final_carry
+        assert emit_transposed_feasible(T, N, D, K, S_in is not None,
+                                        frames), (T, N, D)
+        if rows_per_step <= 0:
+            rows_per_step = 4   # cost-kernel _ROWS: proven rank-4 geometry
     if rows_per_step <= 0:
         # R=1 measured fastest on-chip for the wide vertical sweeps (6.40 ms
         # vs 6.64 at R=4, 6.88 at R=8 for the KITTI 3-direction sweep): the
@@ -233,16 +274,25 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
         d_real=d_real, R=R, reverse=reverse,
         has_s_in=S_in is not None, has_p2m=p2_maps is not None,
         has_init=init_carry is not None, has_fin=return_final_carry,
-        g_frame=G // frames)
+        g_frame=G // frames, emit_t=emit_transposed)
 
-    out_specs = pl.BlockSpec((R, N, D), imap, memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((T, N, D), jnp.int16)
+    if emit_transposed:
+        # rank-4 (N, G, R, D): R a whole array dim -> every block
+        # tile-aligned; reshapes for free to the (N, T, D) layout
+        def omap(g):
+            return (0, G - 1 - g, 0, 0) if reverse else (0, g, 0, 0)
+        out_specs = pl.BlockSpec((N, 1, R, D), omap, memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((N, G, R, D), jnp.int16)
+        aliases = {}
+    else:
+        out_specs = pl.BlockSpec((R, N, D), imap, memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((T, N, D), jnp.int16)
     if return_final_carry:
         out_specs = (out_specs,
                      pl.BlockSpec((K, N, D), whole, memory_space=pltpu.VMEM))
         out_shape = (out_shape, jax.ShapeDtypeStruct((K, N, D), jnp.int32))
 
-    return pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=in_specs,
@@ -252,6 +302,9 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
         input_output_aliases=aliases,
         interpret=interpret,
     )(*operands)
+    if emit_transposed:
+        return res.reshape(N, T, D)
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -501,18 +554,27 @@ def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
                               d_real=D, frames=frames, interpret=interpret)
     S = sweep(C, None, dxs_v, False,
               p2_maps=_p2_stack(img, down, cfg, False, Hp, Wq))
-    S = sweep(C, S, dxs_v, True,
-              p2_maps=_p2_stack(img, up, cfg, False, Hp, Wq))
+    # the up sweep emits the horizontal-sweep layout directly (rank-4
+    # trick) — the standalone S transpose is gone from the hot path.
+    # Wide volumes (true-Middlebury W) exceed the R=4 VMEM budget; they
+    # keep the external tile-transpose.
+    from tpustereo.kernels.transpose_pallas import transpose_hw_pallas
+    fuse_t = emit_transposed_feasible(C.shape[0], Wq, Dp, len(dxs_v),
+                                      True, frames)
+    up_p2 = _p2_stack(img, up, cfg, False, Hp, Wq)
+    if fuse_t:
+        St = sweep(C, S, dxs_v, True, emit_transposed=True, p2_maps=up_p2)
+    else:
+        S = sweep(C, S, dxs_v, True, p2_maps=up_p2)
+        St = transpose_hw_pallas(S, interpret=interpret, trim=False)
 
     # horizontal-layout operands: Ct comes fused from the cost kernel when
     # the caller has it (with_transposed=True), else via the tile-transpose
-    # kernel; S always transposes here. The padded scan columns are inert:
-    # the fwd sweep reaches them last, the bwd+WTA kernel skips its state
-    # updates for them (`real` guard)
-    from tpustereo.kernels.transpose_pallas import transpose_hw_pallas
+    # kernel. The padded scan columns are inert: the fwd sweep reaches them
+    # last, the bwd+WTA kernel skips its state updates for them
+    # (`real` guard)
     if Ct is None:
         Ct = transpose_hw_pallas(C, interpret=interpret, trim=False)
-    St = transpose_hw_pallas(S, interpret=interpret, trim=False)
     Tt, H8 = Ct.shape[0], Ct.shape[1]
     sweep_t = functools.partial(sgm_sweep, p1=cfg.p1, p2=cfg.p2, n_real=H,
                                 d_real=D, interpret=interpret)
@@ -572,16 +634,21 @@ def aggregate_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
                               interpret=interpret)
     S = sweep(Cv, None, dxs_v, False,
               p2_maps=_p2_stack(img, down, cfg, False, Hp, Wq))
-    S = sweep(Cv, S, dxs_v, True,
-              p2_maps=_p2_stack(img, up, cfg, False, Hp, Wq))
+    # up sweep hands S to the horizontal layout directly when the rank-4
+    # emission fits VMEM (see sgm_select_pallas)
+    from tpustereo.kernels.transpose_pallas import transpose_hw_pallas
+    up_p2 = _p2_stack(img, up, cfg, False, Hp, Wq)
+    if emit_transposed_feasible(Hp, Wq, Dp, len(dxs_v), True):
+        St = sweep(Cv, S, dxs_v, True, emit_transposed=True, p2_maps=up_p2)
+    else:
+        S = sweep(Cv, S, dxs_v, True, p2_maps=up_p2)
+        St = transpose_hw_pallas(S, interpret=interpret, trim=False)
 
     # horizontal sweeps in transposed layout (W, H, D). The padded scan
     # columns (T in [W, Wq)) are uniform zero, so the backward sweep's
     # carry renormalises to a fresh path start on entering the real region
     # — exact without masking.
-    from tpustereo.kernels.transpose_pallas import transpose_hw_pallas
     Ct = transpose_hw_pallas(Cv, interpret=interpret, trim=False)
-    St = transpose_hw_pallas(S, interpret=interpret, trim=False)
     Tt, H8 = Ct.shape[0], Ct.shape[1]
     sweep_t = functools.partial(sgm_sweep, p1=p1, p2=p2, n_real=H, d_real=D,
                                 interpret=interpret)

@@ -220,18 +220,29 @@ def component_sizes(lab: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(H, W)
 
 
-def component_big(lab: jnp.ndarray, thresh: int) -> jnp.ndarray:
+def component_big(lab: jnp.ndarray, thresh: int, use_pallas: bool = False,
+                  interpret: bool = False) -> jnp.ndarray:
     """Per-pixel mask 'my component has >= thresh pixels' — what speckle
     actually consumes. Same run-length machinery as `component_sizes`, but
     the distribute-back needs only ONE bit, so it rides the sort key
     (si*2 + big) and the second sort is payload-free — measurably cheaper
     than carrying a full int32 count payload (the double-sort was over half
-    the speckle stage's cost at KITTI size)."""
+    the speckle stage's cost at KITTI size).
+
+    use_pallas: ride the in-VMEM bitonic kernel for both sorts when the
+    image fits its VMEM budget (lax.sort is flat ~2.4-2.7 ms regardless of
+    shape on the dev chip — scripts/tpu_r16_results.json); falls back to
+    lax.sort transparently for oversized images."""
+    from tpustereo.kernels.bitonic_pallas import (bitonic_feasible,
+                                                  bitonic_sort_pallas)
     H, W = lab.shape
     n = H * W
     flat = lab.reshape(-1)
     idx = jnp.arange(n, dtype=jnp.int32)
-    sl, si = jax.lax.sort((flat, idx), num_keys=1)
+    if use_pallas and bitonic_feasible(n, True):
+        sl, si = bitonic_sort_pallas(flat, idx, interpret=interpret)
+    else:
+        sl, si = jax.lax.sort((flat, idx), num_keys=1)
     pos = jnp.arange(n, dtype=jnp.int32)
     is_start = jnp.concatenate([jnp.ones((1,), bool), sl[1:] != sl[:-1]])
     is_end = jnp.concatenate([sl[1:] != sl[:-1], jnp.ones((1,), bool)])
@@ -241,7 +252,11 @@ def component_big(lab: jnp.ndarray, thresh: int) -> jnp.ndarray:
         jnp.minimum, jnp.where(is_end, pos, n), reverse=True)
     big = (epos - spos + 1) >= thresh
     packed = si * 2 + big.astype(jnp.int32)
-    return (jax.lax.sort(packed) & 1).astype(bool).reshape(H, W)
+    if use_pallas and bitonic_feasible(n, False):
+        out = bitonic_sort_pallas(packed, interpret=interpret)
+    else:
+        out = jax.lax.sort(packed)
+    return (out & 1).astype(bool).reshape(H, W)
 
 
 def speckle_labels(disp: jnp.ndarray, valid: jnp.ndarray,
@@ -266,22 +281,38 @@ def speckle(disp: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     golden.speckle_numpy: 4-connectivity, |Δd| <= speckle_range)."""
     if cfg.speckle_window_size <= 0:
         return valid
+    from tpustereo.utils.backend import pallas_mode
+    mode = pallas_mode(cfg)
     lab = speckle_labels(disp, valid, cfg)
-    big = component_big(lab, cfg.speckle_window_size)
+    big = component_big(lab, cfg.speckle_window_size,
+                        use_pallas=(mode != "off"),
+                        interpret=(mode == "interpret"))
     return valid & big
 
 
 def speckle_frames(disp: jnp.ndarray, valid: jnp.ndarray,
                    cfg: Config) -> jnp.ndarray:
-    """`speckle` over (F, H, W) stacked frames with ONE sort set: labels
-    are computed per frame (the CC kernel is VMEM-sized per image), offset
-    by f*H*W so they never collide, and `component_big` — whose two global
-    sorts are the expensive half of speckle (r13/r14) — runs once over the
-    stacked labelling. Exact: offsets keep components frame-disjoint and
-    sizes are per-component regardless of array shape."""
+    """`speckle` over (F, H, W) stacked frames.
+
+    With the bitonic kernel feasible at one frame's size, each frame runs
+    its own in-VMEM `component_big` (per-frame labels are already
+    independent — no offsets needed). Otherwise the frames share ONE
+    lax.sort set: labels offset by f*H*W so they never collide, and
+    `component_big` — whose two global sorts are the expensive half of
+    speckle (r13/r14) — runs once over the stacked labelling. Exact either
+    way: sizes are per-component regardless of array shape."""
     if cfg.speckle_window_size <= 0:
         return valid
+    from tpustereo.kernels.bitonic_pallas import bitonic_feasible
+    from tpustereo.utils.backend import pallas_mode
     F, H, W = disp.shape
+    mode = pallas_mode(cfg)
+    if mode != "off" and bitonic_feasible(H * W, True):
+        bigs = [component_big(speckle_labels(disp[f], valid[f], cfg),
+                              cfg.speckle_window_size, use_pallas=True,
+                              interpret=(mode == "interpret"))
+                for f in range(F)]
+        return valid & jnp.stack(bigs)
     assert F * H * W < (1 << 31)
     labs = [speckle_labels(disp[f], valid[f], cfg) + f * (H * W)
             for f in range(F)]
