@@ -60,3 +60,61 @@ def test_pfm_roundtrip_and_cross(tmp_path, rng):
     pio.write_pfm(p2, img)
     np.testing.assert_array_equal(native.read_pfm(p2), img)
     np.testing.assert_array_equal(pio.read_pfm(p), img)
+
+
+def test_native_prefetch_pairs(tmp_path, rng):
+    """Native threaded loader: PGM + PNG pairs decoded in order, matching
+    the synchronous readers byte for byte."""
+    import numpy as np
+    import pytest
+    from tpustereo import native
+    from tpustereo.data.io import read_image_gray, write_image
+    from tpustereo.data.prefetch import prefetch_pairs
+    if not native.available():
+        pytest.skip("native library unavailable")
+    pairs, refs = [], []
+    for i in range(6):
+        L = rng.integers(0, 256, (17 + i, 23), dtype=np.uint8)
+        R = rng.integers(0, 256, (17 + i, 23), dtype=np.uint8)
+        ext = ".pgm" if i % 2 == 0 else ".png"
+        lp = str(tmp_path / f"l{i}{ext}")
+        rp = str(tmp_path / f"r{i}{ext}")
+        if ext == ".pgm":
+            native.write_pgm(lp, L)
+            native.write_pgm(rp, R)
+        else:
+            write_image(lp, L)
+            write_image(rp, R)
+        pairs.append((lp, rp))
+        refs.append((L, R))
+    out = list(prefetch_pairs(pairs, depth=2, workers=3))
+    assert len(out) == 6
+    for (L, R), (gl, gr) in zip(out, refs):
+        np.testing.assert_array_equal(L, gl)
+        np.testing.assert_array_equal(R, gr)
+    # the native PNG decode must also match the Python reader exactly
+    np.testing.assert_array_equal(out[1][0], read_image_gray(pairs[1][0]))
+
+
+def test_prefetch_generator_fallback(rng):
+    """The Python-thread fallback wraps arbitrary generators, preserving
+    order and propagating exceptions at the right position."""
+    import numpy as np
+    import pytest
+    from tpustereo.data.prefetch import prefetch_pairs
+
+    def gen():
+        for i in range(5):
+            yield (np.full((4, 4), i, np.uint8), np.full((4, 4), i, np.uint8))
+
+    out = list(prefetch_pairs(gen(), depth=2))
+    assert [int(l[0, 0]) for l, _ in out] == list(range(5))
+
+    def bad():
+        yield (np.zeros((2, 2), np.uint8),) * 2
+        raise RuntimeError("boom")
+
+    it = prefetch_pairs(bad(), depth=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)

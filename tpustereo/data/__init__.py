@@ -7,3 +7,4 @@ from tpustereo.data.datasets import (  # noqa: F401
     load_middlebury_pair, load_kitti2015_pair, kitti_odometry_sequence,
     KittiCalib,
 )
+from tpustereo.data.prefetch import prefetch_pairs  # noqa: F401

@@ -85,19 +85,29 @@ def load_kitti2015_pair(root: str, index: int, training: bool = True):
 
 def kitti_odometry_sequence(root: str, sequence: str = "00",
                             max_frames: Optional[int] = None,
+                            prefetch: int = 2,
                             ) -> Tuple[KittiCalib, Iterator[Tuple[np.ndarray, np.ndarray]]]:
     """KITTI odometry layout: {root}/sequences/{seq}/image_0, image_1,
-    calib.txt. Yields (left, right) uint8 frames in order."""
+    calib.txt. Yields (left, right) uint8 frames in order.
+
+    prefetch > 0: frames decode that many pairs ahead of the consumer (the
+    native threaded loader for .pgm/.png, a Python thread otherwise) so the
+    odometry loop's device step never waits on file IO. 0 = synchronous."""
     seq_dir = os.path.join(root, "sequences", sequence)
     calib = parse_kitti_odometry_calib(os.path.join(seq_dir, "calib.txt"))
     left_dir = os.path.join(seq_dir, "image_0")
     names = sorted(os.listdir(left_dir))
     if max_frames is not None:
         names = names[:max_frames]
+    paths = [(os.path.join(left_dir, n), os.path.join(seq_dir, "image_1", n))
+             for n in names]
+
+    if prefetch > 0:
+        from tpustereo.data.prefetch import prefetch_pairs
+        return calib, prefetch_pairs(paths, depth=prefetch)
 
     def gen():
-        for n in names:
-            yield (read_image_gray(os.path.join(left_dir, n)),
-                   read_image_gray(os.path.join(seq_dir, "image_1", n)))
+        for lp, rp in paths:
+            yield read_image_gray(lp), read_image_gray(rp)
 
     return calib, gen()

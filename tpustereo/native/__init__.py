@@ -16,6 +16,7 @@ import numpy as np
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC_DIR = os.path.join(_ROOT, "native")
 _SRC = os.path.join(_SRC_DIR, "tpustereo_native.cc")
+_SRC2 = os.path.join(_SRC_DIR, "loader.cc")
 _LIB = os.path.join(_SRC_DIR, "libtpustereo_native.so")
 
 _lib: Optional[ctypes.CDLL] = None
@@ -37,8 +38,9 @@ def load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB) or (os.path.exists(_SRC) and
-                                    os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
+    if not os.path.exists(_LIB) or any(
+            os.path.exists(s) and os.path.getmtime(s) > os.path.getmtime(_LIB)
+            for s in (_SRC, _SRC2)):
         if not _build():
             return None
     try:
@@ -70,6 +72,15 @@ def load() -> Optional[ctypes.CDLL]:
     lib.pfm_read.restype = ctypes.c_int
     lib.pfm_write.argtypes = [ctypes.c_char_p, f32p, i32, i32]
     lib.pfm_write.restype = ctypes.c_int
+    cpp = ctypes.POINTER(ctypes.c_char_p)
+    lib.ts_prefetch_open.argtypes = [cpp, cpp, i32, i32, i32]
+    lib.ts_prefetch_open.restype = ctypes.c_void_p
+    lib.ts_prefetch_dims.argtypes = [ctypes.c_void_p] + [ctypes.POINTER(i32)] * 4
+    lib.ts_prefetch_dims.restype = ctypes.c_int32
+    lib.ts_prefetch_take.argtypes = [ctypes.c_void_p, u8p, u8p]
+    lib.ts_prefetch_take.restype = ctypes.c_int32
+    lib.ts_prefetch_close.argtypes = [ctypes.c_void_p]
+    lib.ts_prefetch_close.restype = None
     _lib = lib
     return _lib
 
@@ -156,3 +167,66 @@ def write_pfm(path: str, img: np.ndarray) -> None:
     rc = lib.pfm_write(path.encode(), img, img.shape[1], img.shape[0])
     if rc != 0:
         raise IOError(f"pfm_write({path}) -> {rc}")
+
+
+class PrefetchPairs:
+    """Iterator over (left, right) uint8 frames decoded ahead of time by the
+    native threaded loader (native/loader.cc) — the consumer only blocks
+    when decode genuinely lags compute. Supports .pgm and .png (gray)
+    files; see `tpustereo.data.prefetch_pairs` for the generic front end
+    with a pure-Python fallback."""
+
+    def __init__(self, left_paths, right_paths, depth: int = 2,
+                 workers: int = 2):
+        lib = load()
+        assert lib is not None, "native library unavailable"
+        assert len(left_paths) == len(right_paths)
+        self._lib = lib
+        self._n = len(left_paths)
+        self._lp = [p.encode() for p in left_paths]   # keep bytes alive
+        self._rp = [p.encode() for p in right_paths]
+        LArr = ctypes.c_char_p * self._n
+        self._h = lib.ts_prefetch_open(
+            ctypes.cast(LArr(*self._lp), ctypes.POINTER(ctypes.c_char_p)),
+            ctypes.cast(LArr(*self._rp), ctypes.POINTER(ctypes.c_char_p)),
+            self._n, depth, workers)
+        if not self._h:
+            raise IOError("ts_prefetch_open failed")
+        self._i = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._h is None:
+            raise StopIteration
+        i32 = ctypes.c_int32
+        lh, lw, rh, rw = i32(), i32(), i32(), i32()
+        rc = self._lib.ts_prefetch_dims(self._h, *(ctypes.byref(x) for x in
+                                                   (lh, lw, rh, rw)))
+        if rc == 1:
+            self.close()
+            raise StopIteration
+        if rc != 0:
+            idx = self._i
+            self.close()
+            raise IOError(f"prefetch decode failed at pair {idx}")
+        left = np.empty((lh.value, lw.value), np.uint8)
+        right = np.empty((rh.value, rw.value), np.uint8)
+        rc = self._lib.ts_prefetch_take(self._h, left, right)
+        if rc != 0:
+            self.close()
+            raise IOError("ts_prefetch_take failed")
+        self._i += 1
+        return left, right
+
+    def close(self):
+        if self._h is not None:
+            self._lib.ts_prefetch_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
