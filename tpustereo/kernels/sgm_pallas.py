@@ -44,6 +44,13 @@ from tpustereo.config import Config
 _BIG = 1 << 24
 _BIGPACK = 1 << 20   # 'infinite' in packed (value*256 + lane) int32 contexts
 
+# Fused transposed-S emission on the final vertical sweep (rank-4 block
+# trick; ~one full-volume transpose saved per frame). Module-level so TPU
+# batch scripts can A/B the fused layout against sweep+transpose ON CHIP
+# (interpret mode cannot certify Mosaic relayouts) — same pattern as
+# cost_pallas.POPCOUNT_IMPL.
+EMIT_TRANSPOSED = True
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -559,8 +566,8 @@ def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     # Wide volumes (true-Middlebury W) exceed the R=4 VMEM budget; they
     # keep the external tile-transpose.
     from tpustereo.kernels.transpose_pallas import transpose_hw_pallas
-    fuse_t = emit_transposed_feasible(C.shape[0], Wq, Dp, len(dxs_v),
-                                      True, frames)
+    fuse_t = EMIT_TRANSPOSED and emit_transposed_feasible(
+        C.shape[0], Wq, Dp, len(dxs_v), True, frames)
     up_p2 = _p2_stack(img, up, cfg, False, Hp, Wq)
     if fuse_t:
         St = sweep(C, S, dxs_v, True, emit_transposed=True, p2_maps=up_p2)
@@ -638,7 +645,8 @@ def aggregate_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     # emission fits VMEM (see sgm_select_pallas)
     from tpustereo.kernels.transpose_pallas import transpose_hw_pallas
     up_p2 = _p2_stack(img, up, cfg, False, Hp, Wq)
-    if emit_transposed_feasible(Hp, Wq, Dp, len(dxs_v), True):
+    if EMIT_TRANSPOSED and emit_transposed_feasible(Hp, Wq, Dp,
+                                                    len(dxs_v), True):
         St = sweep(Cv, S, dxs_v, True, emit_transposed=True, p2_maps=up_p2)
     else:
         S = sweep(Cv, S, dxs_v, True, p2_maps=up_p2)
