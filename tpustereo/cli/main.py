@@ -178,7 +178,8 @@ def cmd_odometry(args) -> int:
 
     if args.root:
         calib, frames = kitti_odometry_sequence(args.root, args.sequence,
-                                                max_frames=args.max_frames)
+                                                max_frames=args.max_frames,
+                                                prefetch=args.prefetch)
         frames = list(frames)
         gt = None
     else:  # geometrically consistent synthetic sequence with known poses
@@ -273,6 +274,9 @@ def main(argv=None) -> int:
     o.add_argument("--checkpoint", help="checkpoint .npz path (SURVEY.md §5.4)")
     o.add_argument("--checkpoint-every", type=int, default=5)
     o.add_argument("--resume", action="store_true")
+    o.add_argument("--prefetch", type=int, default=2, metavar="N",
+                   help="decode N frame pairs ahead of the compute loop "
+                        "(native threaded loader for .pgm/.png); 0 = sync")
     o.add_argument("--no-loop-closure", action="store_true",
                    help="disable loop-closure detection (drift correction)")
     o.set_defaults(fn=cmd_odometry)
