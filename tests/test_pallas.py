@@ -344,7 +344,8 @@ def test_component_big_bitonic_matches_lax(rng):
 
 
 def test_sweep_emit_transposed_matches_transpose(small_pair):
-    """The up-sweep's fused transposed emission == sweep + tile transpose."""
+    """Two fused transposed-emission sweeps, absorbed by a two-S-operand
+    forward sweep, == chained sweeps + tile transpose + one-S forward."""
     from tpustereo.kernels import sgm_sweep, transpose_hw_pallas
     cfg = Config(num_disparities=128, paths=8)
     C = _volume(small_pair, cfg)
@@ -357,8 +358,17 @@ def test_sweep_emit_transposed_matches_transpose(small_pair):
                   d_real=D, interpret=True)
     up = sgm_sweep(Cp, S, dxs, True, p1=cfg.p1, p2=cfg.p2, n_real=W,
                    d_real=D, interpret=True)
-    ref = np.asarray(transpose_hw_pallas(up, interpret=True, trim=False))
-    fused = np.asarray(sgm_sweep(Cp, S, dxs, True, p1=cfg.p1, p2=cfg.p2,
-                                 n_real=W, d_real=D, emit_transposed=True,
-                                 interpret=True))
-    np.testing.assert_array_equal(ref, fused)
+    St_ref = transpose_hw_pallas(up, interpret=True, trim=False)
+    St_a = sgm_sweep(Cp, None, dxs, False, p1=cfg.p1, p2=cfg.p2, n_real=W,
+                     d_real=D, emit_transposed=True, interpret=True)
+    St_b = sgm_sweep(Cp, None, dxs, True, p1=cfg.p1, p2=cfg.p2, n_real=W,
+                     d_real=D, emit_transposed=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(St_ref),
+                                  np.asarray(St_a) + np.asarray(St_b))
+    # the forward horizontal sweep absorbs both partial volumes
+    Ct = transpose_hw_pallas(Cp, interpret=True, trim=False)
+    fwd_ref = sgm_sweep(Ct, St_ref, (0,), False, p1=cfg.p1, p2=cfg.p2,
+                        n_real=H, d_real=D, interpret=True)
+    fwd2 = sgm_sweep(Ct, (St_a, St_b), (0,), False, p1=cfg.p1, p2=cfg.p2,
+                     n_real=H, d_real=D, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fwd_ref), np.asarray(fwd2))

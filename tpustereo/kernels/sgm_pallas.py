@@ -70,13 +70,17 @@ def _roll(x, shift: int, axis: int):
 
 
 def emit_transposed_feasible(T: int, N: int, D: int, K: int,
-                             has_s_in: bool, frames: int = 1) -> bool:
-    """True when the transposed-emission sweep fits VMEM at R=4 — the
+                             frames: int = 1) -> bool:
+    """True when a transposed-emission sweep fits VMEM at R=4 — the
     rank-4 output block needs >= 4 rows per grid step (R=1 would make the
     block single-sublane, which Mosaic handles wrongly), and wide volumes
     (true-Middlebury W) can push the double-buffered slabs past budget.
-    Mirrors sgm_sweep's budget arithmetic."""
-    per_row = N * D * (1 + (2 if has_s_in else 0) + 2)
+    Emission sweeps carry no S_in operand (r17 on-chip lesson: C + S_in +
+    a separate transposed out + the stacked emission temps hit 24.2 MB
+    scoped VMEM at KITTI geometry — 8 MB over; the two vertical sweeps
+    emit separate transposed volumes instead and the forward horizontal
+    sweep adds both). Mirrors sgm_sweep's budget arithmetic."""
+    per_row = N * D * (1 + 2)
     fixed = 4 * K * N * D
     r_max = max(1, (12 * 1024 * 1024 - fixed) // max(1, 2 * per_row))
     return r_max >= 4 and (T // frames) % 4 == 0
@@ -94,22 +98,26 @@ def _min_lanes_full(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
-                  has_s_in, has_p2m, has_init, has_fin, g_frame,
+                  n_s, has_p2m, has_init, has_fin, g_frame,
                   emit_t=False):
     """One grid step = R scanlines, walked serially in-register (reversed
-    for reverse sweeps). rest = ([s_ref], [p2_ref], [init_ref], out_ref,
-    [fin_ref], carry_ref) depending on flags.
+    for reverse sweeps). rest = (*s_refs, [p2_ref], [init_ref], out_ref,
+    [fin_ref], carry_ref) depending on flags; n_s S volumes (0-2) are
+    accumulated into the output per row.
 
     emit_t: the output block is the TRANSPOSED (N, 1, R, D) slice of a
     rank-4 (N, G, R, D) array — a free reshape of the horizontal-sweep
-    layout (N, T, D) — so the final vertical sweep hands the S volume to
-    the horizontal sweeps without the standalone transpose kernel's HBM
-    round trip (same rank-4 whole-array-dim trick as the cost kernel's
-    fused-Ct emission; the in-register (R, N, D) -> (N, R, D) shuffle is
-    the same relayout transpose_hw_pallas would have done)."""
+    layout (N, T, D) — so the vertical sweeps hand the S volume to the
+    horizontal sweeps without the standalone transpose kernel's HBM round
+    trip (same rank-4 whole-array-dim trick as the cost kernel's fused-Ct
+    emission). Emission is a sublane-masked read-modify-write of the
+    output block per scan row — the bwd kernel's revisited-block idiom —
+    NOT a jnp.stack of the R row slabs: keeping R live row outputs plus
+    the stacked/reshaped temps measured ~8 MB of Mosaic stack over budget
+    at KITTI geometry (r17 on-chip OOM)."""
     idx = 0
-    s_ref = rest[idx] if has_s_in else None
-    idx += 1 if has_s_in else 0
+    s_refs = rest[:n_s]
+    idx += n_s
     p2_ref = rest[idx] if has_p2m else None
     idx += 1 if has_p2m else 0
     init_ref = rest[idx] if has_init else None
@@ -144,7 +152,8 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 0)
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
 
-    outs = [None] * R if emit_t else None
+    if emit_t:
+        sub = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 2)
     order = range(R - 1, -1, -1) if reverse else range(R)
     for j in order:
         c = c_ref[j].astype(jnp.int32)
@@ -176,15 +185,16 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
             total = L if total is None else total + L
 
         out = total.astype(jnp.int16)
-        if s_ref is not None:
+        for s_ref in s_refs:
             out = out + s_ref[j]
         if emit_t:
-            outs[j] = out
+            # scatter row j into sublane j of the (N, 1, R, D) block;
+            # every sublane is written exactly once per grid step, so the
+            # pre-write block contents never reach the output
+            b = jnp.broadcast_to(out[:, None, None, :], out_ref.shape)
+            out_ref[...] = jnp.where(sub == j, b, out_ref[...])
         else:
             out_ref[j] = out
-
-    if emit_t:
-        out_ref[...] = jnp.stack(outs, axis=1)[:, None]
 
     if fin_ref is not None:
         @pl.when(t == pl.num_programs(0) - 1)
@@ -204,9 +214,12 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     """One directional sweep over axis 0 of C (T, N, D) -> S (T, N, D) int16.
 
     dxs: in-carry sublane shift per fused direction (0 axial, ±1 diagonal).
-    reverse: scan rows T-1..0 (up/backward paths). S_in, if given, is
-    accumulated into (aliased in-place). p2_maps: (T, N, K) int32 for
-    adaptive P2, else the scalar `p2` applies.
+    reverse: scan rows T-1..0 (up/backward paths). S_in — one array or a
+    tuple of up to two, all in the sweep's own layout — is accumulated
+    into the output (the first is aliased in-place); the two-operand form
+    lets the forward horizontal sweep absorb both emitted transposed
+    volumes without an extra XLA add pass over S-sized HBM. p2_maps:
+    (T, N, K) int32 for adaptive P2, else the scalar `p2` applies.
 
     init_carry / return_final_carry: (K, N, D) int32 q-form carry slabs for
     the exact ring strip hand-off (SURVEY.md §4.3b) — the recurrence sees
@@ -222,16 +235,19 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
 
     emit_transposed: return S in the horizontal-sweep layout (N, T, D)
     instead of (T, N, D) — the rank-4 output trick (see _sweep_kernel);
-    used by the final vertical sweep so the standalone S transpose
-    disappears from the pipeline. Incompatible with the ring hand-off.
+    used by the vertical sweeps so the standalone S transpose disappears
+    from the pipeline. Incompatible with the ring hand-off AND with S_in
+    (VMEM: see emit_transposed_feasible).
     """
     T, N, D = C.shape
     K = len(dxs)
+    s_list = list(S_in) if isinstance(S_in, (tuple, list)) else (
+        [] if S_in is None else [S_in])
+    assert len(s_list) <= 2
     assert D % 128 == 0 and N % 8 == 0, (N, D)
     if emit_transposed:
-        assert init_carry is None and not return_final_carry
-        assert emit_transposed_feasible(T, N, D, K, S_in is not None,
-                                        frames), (T, N, D)
+        assert init_carry is None and not return_final_carry and not s_list
+        assert emit_transposed_feasible(T, N, D, K, frames), (T, N, D)
         if rows_per_step <= 0:
             rows_per_step = 4   # cost-kernel _ROWS: proven rank-4 geometry
     if rows_per_step <= 0:
@@ -243,7 +259,7 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
         rows_per_step = 1
     # VMEM budget: 2x-buffered per-row slabs + the (K, N, D) carry scratch
     # (+ optional init slab) must stay under ~12 MB of the ~16 MB VMEM.
-    per_row = N * D * (C.dtype.itemsize + (2 if S_in is not None else 0) + 2)
+    per_row = N * D * (C.dtype.itemsize + 2 * len(s_list) + 2)
     if p2_maps is not None:
         per_row += 4 * N * K
     fixed = 4 * K * N * D * (2 if init_carry is not None else 1)
@@ -264,9 +280,10 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     in_specs = [pl.BlockSpec((R, N, D), imap, memory_space=pltpu.VMEM)]
     operands = [C]
     aliases = {}
-    if S_in is not None:
+    for s in s_list:
         in_specs.append(pl.BlockSpec((R, N, D), imap, memory_space=pltpu.VMEM))
-        operands.append(S_in)
+        operands.append(s)
+    if s_list:
         aliases = {1: 0}
     if p2_maps is not None:
         in_specs.append(pl.BlockSpec((R, N, K), imap,
@@ -279,7 +296,7 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     kernel = functools.partial(
         _sweep_kernel, dxs=tuple(dxs), p1=p1, p2_const=p2, n_real=n_real,
         d_real=d_real, R=R, reverse=reverse,
-        has_s_in=S_in is not None, has_p2m=p2_maps is not None,
+        n_s=len(s_list), has_p2m=p2_maps is not None,
         has_init=init_carry is not None, has_fin=return_final_carry,
         g_frame=G // frames, emit_t=emit_transposed)
 
@@ -559,19 +576,23 @@ def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
 
     sweep = functools.partial(sgm_sweep, p1=cfg.p1, p2=cfg.p2, n_real=W,
                               d_real=D, frames=frames, interpret=interpret)
-    S = sweep(C, None, dxs_v, False,
-              p2_maps=_p2_stack(img, down, cfg, False, Hp, Wq))
-    # the up sweep emits the horizontal-sweep layout directly (rank-4
-    # trick) — the standalone S transpose is gone from the hot path.
-    # Wide volumes (true-Middlebury W) exceed the R=4 VMEM budget; they
-    # keep the external tile-transpose.
+    # both vertical sweeps emit the horizontal-sweep layout directly
+    # (rank-4 trick) — the standalone S transpose is gone from the hot
+    # path; the fwd sweep absorbs the two partial volumes. Wide volumes
+    # (true-Middlebury W) exceed the R=4 VMEM budget; they keep the
+    # chained sweeps + external tile-transpose.
     from tpustereo.kernels.transpose_pallas import transpose_hw_pallas
     fuse_t = EMIT_TRANSPOSED and emit_transposed_feasible(
-        C.shape[0], Wq, Dp, len(dxs_v), True, frames)
+        C.shape[0], Wq, Dp, len(dxs_v), frames)
+    down_p2 = _p2_stack(img, down, cfg, False, Hp, Wq)
     up_p2 = _p2_stack(img, up, cfg, False, Hp, Wq)
     if fuse_t:
-        St = sweep(C, S, dxs_v, True, emit_transposed=True, p2_maps=up_p2)
+        St = (sweep(C, None, dxs_v, False, emit_transposed=True,
+                    p2_maps=down_p2),
+              sweep(C, None, dxs_v, True, emit_transposed=True,
+                    p2_maps=up_p2))
     else:
+        S = sweep(C, None, dxs_v, False, p2_maps=down_p2)
         S = sweep(C, S, dxs_v, True, p2_maps=up_p2)
         St = transpose_hw_pallas(S, interpret=interpret, trim=False)
 
@@ -639,16 +660,19 @@ def aggregate_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     Cv = jnp.pad(C, ((0, Hp - H), (0, Wq - W), (0, Dp - D)))
     sweep = functools.partial(sgm_sweep, p1=p1, p2=p2, n_real=W, d_real=D,
                               interpret=interpret)
-    S = sweep(Cv, None, dxs_v, False,
-              p2_maps=_p2_stack(img, down, cfg, False, Hp, Wq))
-    # up sweep hands S to the horizontal layout directly when the rank-4
-    # emission fits VMEM (see sgm_select_pallas)
+    # the vertical sweeps hand S to the horizontal layout directly when
+    # the rank-4 emission fits VMEM (see sgm_select_pallas)
     from tpustereo.kernels.transpose_pallas import transpose_hw_pallas
+    down_p2 = _p2_stack(img, down, cfg, False, Hp, Wq)
     up_p2 = _p2_stack(img, up, cfg, False, Hp, Wq)
     if EMIT_TRANSPOSED and emit_transposed_feasible(Hp, Wq, Dp,
-                                                    len(dxs_v), True):
-        St = sweep(Cv, S, dxs_v, True, emit_transposed=True, p2_maps=up_p2)
+                                                    len(dxs_v)):
+        St = (sweep(Cv, None, dxs_v, False, emit_transposed=True,
+                    p2_maps=down_p2),
+              sweep(Cv, None, dxs_v, True, emit_transposed=True,
+                    p2_maps=up_p2))
     else:
+        S = sweep(Cv, None, dxs_v, False, p2_maps=down_p2)
         S = sweep(Cv, S, dxs_v, True, p2_maps=up_p2)
         St = transpose_hw_pallas(S, interpret=interpret, trim=False)
 
