@@ -322,6 +322,25 @@ def test_bitonic_sort_pallas(rng, n):
     np.testing.assert_array_equal(k[sp], sk)
 
 
+@pytest.mark.parametrize("n", [2100, 4096, 5000])
+def test_bitonic_sort_pallas_multipart(rng, n, monkeypatch):
+    """The blocked path: Q parts with cross-part exchange substages and the
+    reused tail kernel (production runs Q = 4 at KITTI size; here the part
+    size is shrunk so Q in {2, 4, 8} is covered at test scale)."""
+    import tpustereo.kernels.bitonic_pallas as bp
+    from tpustereo.kernels import bitonic_sort_pallas
+    monkeypatch.setattr(bp, "_PART_LOG2", 10)
+    k = rng.integers(0, 60, (n,)).astype(np.int32)
+    s = np.asarray(bitonic_sort_pallas(jnp.asarray(k), interpret=True))
+    np.testing.assert_array_equal(s, np.sort(k))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sk, sp = bitonic_sort_pallas(jnp.asarray(k), idx, interpret=True)
+    sk, sp = np.asarray(sk), np.asarray(sp)
+    np.testing.assert_array_equal(sk, np.sort(k))
+    assert sorted(sp.tolist()) == list(range(n))
+    np.testing.assert_array_equal(k[sp], sk)
+
+
 def test_component_big_bitonic_matches_lax(rng):
     """component_big via the bitonic kernel == the lax.sort formulation ==
     brute-force sizes, on a labelling with many small components."""
