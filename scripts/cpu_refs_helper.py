@@ -1,0 +1,68 @@
+"""Compute CPU-truth pipeline outputs for the on-chip exactness gates.
+
+Run as a SUBPROCESS (forces jax_platforms=cpu before importing jax) by the
+TPU batch scripts; writes one .npz per case. Rationale: the jnp fallback
+pipeline miscompiles ON THE TPU at 750x1500 (XLA bug, r19 diag — rows >=
+376 wrong while pallas matched CPU truth at every stage), so jnp-on-TPU
+cannot serve as the exactness reference; CPU execution of the same jnp
+path is bit-exact vs the golden NumPy oracle (test suite) and compiles in
+seconds instead of the TPU's 5-30+ minutes.
+
+Usage: python scripts/cpu_refs_helper.py OUT.npz CASE
+Cases: kitti4 (4 KITTI frames, kitti_sgm8 F=1), midhalf (750x1500
+middlebury_sgm4), midfull (1500x3000 middlebury_sgm4), small (120x320
+kitti_sgm8 F=1).
+"""
+
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import os  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from tpustereo.config import PRESETS  # noqa: E402
+from tpustereo.data.synthetic import synthetic_pair  # noqa: E402
+from tpustereo.pipeline.sgbm import sgbm  # noqa: E402
+
+
+def run(cfg, shape, disparity, slope, seed):
+    L, R, _, _ = synthetic_pair(shape, disparity=disparity, slope=slope,
+                                seed=seed)
+    out = np.asarray(sgbm(jnp.asarray(L), jnp.asarray(R),
+                          cfg.replace(backend="jnp")))
+    return L, R, out
+
+
+def main():
+    out_path, case = sys.argv[1], sys.argv[2]
+    k1 = PRESETS["kitti_sgm8"].replace(frames_per_step=1)
+    cfg_h = PRESETS["middlebury_sgm4"]
+    data = {}
+    if case == "small":
+        L, R, out = run(k1, (120, 320), 20.0, 0.05, 1)
+        data = {"L": L, "R": R, "out": out}
+    elif case == "kitti4":
+        for f in range(4):
+            L, R, out = run(k1, (375, 1242), 30.0 + 10 * f, 0.02, f)
+            data[f"L{f}"], data[f"R{f}"], data[f"out{f}"] = L, R, out
+    elif case == "midhalf":
+        L, R, out = run(cfg_h, (750, 1500), 60.0, 0.03, 9)
+        data = {"L": L, "R": R, "out": out}
+    elif case == "midfull":
+        L, R, out = run(cfg_h, (1500, 3000), 100.0, 0.03, 10)
+        data = {"L": L, "R": R, "out": out}
+    else:
+        raise SystemExit(f"unknown case {case}")
+    np.savez_compressed(out_path, **data)
+    print(f"saved {out_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
