@@ -8,6 +8,7 @@ selection is driven by `Config.backend` ('auto' picks Pallas on TPU).
 
 from tpustereo.kernels.sgm_pallas import (  # noqa: F401
     aggregate_pallas,
+    bwd_wta_feasible,
     sgm_select_pallas,
     sgm_sweep,
     sweep_bwd_wta,

@@ -44,12 +44,24 @@ from tpustereo.config import Config
 _BIG = 1 << 24
 _BIGPACK = 1 << 20   # 'infinite' in packed (value*256 + lane) int32 contexts
 
-# Fused transposed-S emission on the final vertical sweep (rank-4 block
-# trick; ~one full-volume transpose saved per frame). Module-level so TPU
-# batch scripts can A/B the fused layout against sweep+transpose ON CHIP
-# (interpret mode cannot certify Mosaic relayouts) — same pattern as
-# cost_pallas.POPCOUNT_IMPL.
-EMIT_TRANSPOSED = True
+# Fused transposed-S emission from the vertical sweeps (rank-4 block
+# trick). Measured on chip (r20 A/B at KITTI F=4 b16): 18.625 ms/frame
+# fused vs 18.435 ms with the external tile-transpose — the masked-RMW
+# emission plus the two-S forward sweep costs slightly MORE than the
+# standalone St transpose it replaces, so the default is OFF. Kept
+# (exact, tested, VMEM-gated) for re-measurement if the transpose ever
+# grows (e.g. other D) — flip via this module toggle + jax.clear_caches().
+EMIT_TRANSPOSED = False
+
+# MXU-assisted WTA refinement: the uniqueness and subpixel stages are
+# one-hot extractions / violation counts over the lane axis — lane SUMS,
+# not mins — so they can ride an (N, D) @ (D, 1) matmul with a ones
+# vector on the MXU (exact: one-hot picks a single value < 2^20, f32
+# holds ints < 2^24; counts <= 128) instead of a 14-op roll-tree each on
+# the VPU. That removes two of the four per-column trees from the
+# bwd+WTA kernel AND moves the work to the otherwise-idle MXU. Toggle for
+# on-chip A/B.
+MXU_REFINE = True
 
 
 def _round_up(x: int, m: int) -> int:
@@ -84,6 +96,16 @@ def emit_transposed_feasible(T: int, N: int, D: int, K: int,
     fixed = 4 * K * N * D
     r_max = max(1, (12 * 1024 * 1024 - fixed) // max(1, 2 * per_row))
     return r_max >= 4 and (T // frames) % 4 == 0
+
+
+def bwd_wta_feasible(n_sublanes: int, D: int) -> bool:
+    """True when the fused bwd+WTA kernel fits scoped VMEM at R=1 for a
+    (T, n_sublanes, D) volume. Calibrated from Mosaic's own accounting,
+    not the naive block arithmetic (which badly underestimates the
+    kernel-stack share): the F=8 frame stack (n_sublanes=3008, D=128)
+    measured 23.87 MB scoped — ~62 bytes per (sublane, lane) element —
+    while F=4 (1504) compiles and runs. Keep ~1.3 MB of headroom."""
+    return 62 * n_sublanes * D <= 14 * 1024 * 1024
 
 
 def _min_lanes_full(x: jnp.ndarray) -> jnp.ndarray:
@@ -336,7 +358,7 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
 # ---------------------------------------------------------------------------
 
 def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, d_real,
-                    w_real, R, has_p2m):
+                    w_real, R, has_p2m, mxu):
     """Grid step g = columns x in [xb, xb+R), xb = (G-1-g)*R, walked in
     descending order: runs the W (backward-horizontal) SGM step, completes S
     for each column, and does WTA + uniqueness + subpixel immediately — S
@@ -397,14 +419,41 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, d_real,
         m = _min_lanes_full(packed)[:, :1]              # (N, 1)
         best = m >> 8
         d_int = m & 255
+        if mxu:
+            ones = jnp.ones((D, 1), jnp.float32)
+            one_hot = lane == d_int
 
         valid = jnp.full((N, 1), True)  # padded sublane rows are sliced off
-        if cfg.uniqueness_ratio > 0:
+        if cfg.uniqueness_ratio > 0 and mxu:
+            # "no lane outside the d*±1 window violates the ratio" — an
+            # existence test == a lane-count, so it rides the MXU (0/1
+            # values, count <= 128: exact at any matmul precision) instead
+            # of a masked min tree on the VPU
+            viol = ((jnp.abs(lane - d_int) > 1)
+                    & (S * 100 < best * (100 + cfg.uniqueness_ratio)))
+            cnt = jnp.dot(jnp.where(viol, 1.0, 0.0), ones)
+            valid &= cnt == 0.0
+        elif cfg.uniqueness_ratio > 0:
             masked = jnp.where(jnp.abs(lane - d_int) <= 1, _BIGPACK * 256, S)
             second = _min_lanes_full(masked)[:, :1]
             valid &= ~(second * 100 < best * (100 + cfg.uniqueness_ratio))
 
-        if cfg.subpixel:
+        if cfg.subpixel and mxu:
+            # one-hot extraction of S[d*-1]/S[d*+1] as a lane SUM on the
+            # MXU (single nonzero < 2^20 -> exact in f32, but ONLY at
+            # Precision.HIGHEST: default bf16 passes have a 8-bit
+            # mantissa). Decode matches the tree path bit-for-bit:
+            # min(A, best+4095) - best == min(A - best, 4095).
+            A = _roll(S, 1, axis=1)    # lane d: S[d-1]
+            B = _roll(S, -1, axis=1)   # lane d: S[d+1]
+            hi = jax.lax.Precision.HIGHEST
+            a_sel = jnp.dot(jnp.where(one_hot, A, 0).astype(jnp.float32),
+                            ones, precision=hi).astype(jnp.int32)
+            b_sel = jnp.dot(jnp.where(one_hot, B, 0).astype(jnp.float32),
+                            ones, precision=hi).astype(jnp.int32)
+            deltas = (jnp.minimum(a_sel - best, 4095) * 4096
+                      + jnp.minimum(b_sel - best, 4095))
+        elif cfg.subpixel:
             # only the parabola deltas leave the kernel; the float math runs
             # once over the (H, W) maps outside (the ~10 float ops per step
             # on lane-padded (N, 1) columns cost a full slab op each in
@@ -498,7 +547,8 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
 
     kernel = functools.partial(
         _bwd_wta_kernel, cfg=cfg, p1=cfg.p1, p2_const=cfg.p2,
-        d_real=d_real, w_real=w_real, R=R, has_p2m=p2_maps is not None)
+        d_real=d_real, w_real=w_real, R=R, has_p2m=p2_maps is not None,
+        mxu=MXU_REFINE)
 
     o1, o2 = pl.pallas_call(
         kernel,

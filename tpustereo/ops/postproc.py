@@ -276,6 +276,14 @@ def speckle_labels(disp: jnp.ndarray, valid: jnp.ndarray,
     return connected_component_labels(conn_h, conn_v)
 
 
+# Bitonic speckle sorts: measured SLOWER than lax.sort on chip (r20:
+# pair sort 3.67 ms vs lax 1.77 ms at 465K; in-context speckle 21.5 ms vs
+# 12.5 ms per 4 KITTI frames — the r16 lax.sort calibration that motivated
+# the kernel did not hold for the flat 1-D shape). Kept as an opt-in for
+# re-measurement on other chips/toolchains; lax.sort is the default.
+BITONIC_SPECKLE = False
+
+
 def speckle(disp: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """Invalidate components smaller than speckle_window_size (mirrors
     golden.speckle_numpy: 4-connectivity, |Δd| <= speckle_range)."""
@@ -285,7 +293,7 @@ def speckle(disp: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     mode = pallas_mode(cfg)
     lab = speckle_labels(disp, valid, cfg)
     big = component_big(lab, cfg.speckle_window_size,
-                        use_pallas=(mode != "off"),
+                        use_pallas=(mode != "off" and BITONIC_SPECKLE),
                         interpret=(mode == "interpret"))
     return valid & big
 
@@ -307,7 +315,7 @@ def speckle_frames(disp: jnp.ndarray, valid: jnp.ndarray,
     from tpustereo.utils.backend import pallas_mode
     F, H, W = disp.shape
     mode = pallas_mode(cfg)
-    if mode != "off" and bitonic_feasible(H * W, True):
+    if mode != "off" and BITONIC_SPECKLE and bitonic_feasible(H * W, True):
         bigs = [component_big(speckle_labels(disp[f], valid[f], cfg),
                               cfg.speckle_window_size, use_pallas=True,
                               interpret=(mode == "interpret"))

@@ -24,6 +24,16 @@ INVALID = -1.0  # plain float: module import must not initialise the backend
 from tpustereo.utils.backend import pallas_mode as _pallas_mode  # noqa: E402
 
 
+def _bwd_feasible(H: int, F: int, cfg: Config) -> bool:
+    """VMEM gate for the fused bwd+WTA kernel: its sublane axis is the
+    (frame-stacked) padded image height. The F=8 KITTI stack measured
+    23.87 MB scoped VMEM on chip (over the 16 MB limit) — oversize stacks
+    fall back to the scan-of-singles path instead of failing to compile."""
+    from tpustereo.kernels import bwd_wta_feasible
+    Dp = (cfg.num_disparities + 127) // 128 * 128
+    return bwd_wta_feasible((H + 7) // 8 * 8 * F, Dp)
+
+
 def sgbm_volume(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """The aggregated cost volume S for (left, right); (H, W, D) int16/int32."""
     if cfg.mode == "sad":
@@ -142,7 +152,8 @@ def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     # packing assumes S_max = paths*(C_max+P2) < 4096
     if (cfg.mode == "sgm" and mode != "off" and cfg.census_bits <= 64
             and cfg.num_disparities <= 128 and cfg.min_disparity == 0
-            and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096):
+            and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096
+            and _bwd_feasible(left.shape[-2], 1, cfg)):
         # fully fused kernel path: cost -> sweeps -> WTA without the
         # completed S volume ever round-tripping HBM; the cost kernel emits
         # the sweep-ready padded frame (padded=True) so the volume is never
@@ -221,7 +232,8 @@ def sgbm_frames(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
     if (F > 1 and cfg.mode == "sgm" and mode != "off"
             and cfg.census_bits <= 64 and cfg.num_disparities <= 128
             and cfg.min_disparity == 0 and not cfg.adaptive_p2
-            and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096):
+            and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096
+            and _bwd_feasible(H, F, cfg)):
         from tpustereo.kernels import (census_cost_volume_pallas,
                                        dr_consistency_pallas,
                                        sgm_select_pallas)
