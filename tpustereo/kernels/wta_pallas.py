@@ -67,7 +67,7 @@ def _shear(slab: jnp.ndarray, lane: jnp.ndarray, up: bool) -> jnp.ndarray:
 
 
 def _kernel(s_ref, disp_ref, valid_ref, *, cfg: Config, w_real: int,
-            d_real: int):
+            d_real: int, mxu: bool):
     R, W, D = s_ref.shape
     s = s_ref[...].astype(jnp.int32)                    # (R, W, D)
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, W, D), 2)
@@ -75,12 +75,25 @@ def _kernel(s_ref, disp_ref, valid_ref, *, cfg: Config, w_real: int,
     if d_real < D:
         s = jnp.where(lane >= d_real, _BIG, s)
 
+    # one-hot extraction / counting as a lane SUM on the MXU (see
+    # sgm_pallas.MXU_REFINE): exact at Precision.HIGHEST for values < 2^24
+    ones = jnp.ones((D, 1), jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+
+    def pick(values, where_mask):
+        return jnp.dot(jnp.where(where_mask, values, 0).astype(jnp.float32),
+                       ones, precision=hi).astype(jnp.int32)
+
     m = _min_lanes_full(s * 256 + lane)[..., :1]        # (R, W, 1)
     best = m >> 8
     d_int = m & 255
 
     valid = col < w_real
-    if cfg.uniqueness_ratio > 0:
+    if cfg.uniqueness_ratio > 0 and mxu:
+        viol = ((jnp.abs(lane - d_int) > 1)
+                & (s * 100 < best * (100 + cfg.uniqueness_ratio)))
+        valid &= pick(1, viol) == 0
+    elif cfg.uniqueness_ratio > 0:
         masked = jnp.where(jnp.abs(lane - d_int) <= 1, _BIG * 256, s)
         second = _min_lanes_full(masked)[..., :1]
         valid &= ~(second * 100 < best * (100 + cfg.uniqueness_ratio))
@@ -89,8 +102,14 @@ def _kernel(s_ref, disp_ref, valid_ref, *, cfg: Config, w_real: int,
     if cfg.subpixel:
         dm = jnp.maximum(d_int - 1, 0)
         dp = jnp.minimum(d_int + 1, d_real - 1)
-        sm = _min_lanes_full(jnp.where(lane == dm, s, _BIG * 256))[..., :1]
-        sp = _min_lanes_full(jnp.where(lane == dp, s, _BIG * 256))[..., :1]
+        if mxu:
+            sm = pick(s, lane == dm)
+            sp = pick(s, lane == dp)
+        else:
+            sm = _min_lanes_full(jnp.where(lane == dm, s,
+                                           _BIG * 256))[..., :1]
+            sp = _min_lanes_full(jnp.where(lane == dp, s,
+                                           _BIG * 256))[..., :1]
         smf, spf = sm.astype(jnp.float32), sp.astype(jnp.float32)
         s0 = best.astype(jnp.float32)
         denom = smf - 2.0 * s0 + spf
@@ -111,7 +130,11 @@ def _kernel(s_ref, disp_ref, valid_ref, *, cfg: Config, w_real: int,
         G = _shear(jnp.broadcast_to(d_r, (R, W, D)), lane, up=False)
         G = jnp.where(lane_w - lane < 0, (1 << 12), G)
         dl = jnp.round(disp).astype(jnp.int32)           # (R, W, 1)
-        dr_at = _min_lanes_full(jnp.where(lane == dl, G, _BIG))[..., :1]
+        if mxu:
+            dr_at = pick(G, lane == dl)
+        else:
+            dr_at = _min_lanes_full(jnp.where(lane == dl, G,
+                                              _BIG))[..., :1]
         valid &= (col >= dl) & (jnp.abs(dl - dr_at) <= cfg.disp12_max_diff)
 
     disp_ref[0] = disp[..., 0]
@@ -151,8 +174,10 @@ def wta_lr_pallas(S: jnp.ndarray, cfg: Config, interpret: bool = False,
         Hp = HF // frames
         Sp = S
 
+    from tpustereo.kernels import sgm_pallas
     rows = _ROWS if Wp <= 2048 else 1   # int32 shear temps scale with R*Wp
-    kernel = functools.partial(_kernel, cfg=cfg, w_real=W, d_real=D)
+    kernel = functools.partial(_kernel, cfg=cfg, w_real=W, d_real=D,
+                               mxu=sgm_pallas.MXU_REFINE)
     G = frames * Hp // rows
     # outputs are (G, R, Wp) so the block's trailing dims (R, Wp) equal the
     # array dims (Mosaic's tiling rule); reshaped to (Hp, Wp) after.
