@@ -173,11 +173,20 @@ def main():
         r = run_benchmark(cfg_h, shape=(750, 1500), batch=4, iters=10)
         rec("bench/middlebury_half_750x1500",
             {k: r[k] for k in ("value", "ms_per_frame")})
+
+    mid()
+
+    @section("midfull")
+    def midfull():
+        rf = np.load(f"{REFS_DIR}/midfull.npz")
+        exact("exact/midfull_vs_cpu",
+              sgbm(jnp.asarray(rf["L"]), jnp.asarray(rf["R"]), cfg_h),
+              rf["out"])
         r = run_benchmark(cfg_h, shape=(1500, 3000), batch=2, iters=5)
         rec("bench/middlebury_full_1500x3000",
             {k: r[k] for k in ("value", "ms_per_frame")})
 
-    mid()
+    midfull()
 
     # ---- 7. other presets (tsukuba SAD + census_wta) ------------------------
     @section("other_presets")
