@@ -53,6 +53,14 @@ _BIGPACK = 1 << 20   # 'infinite' in packed (value*256 + lane) int32 contexts
 # grows (e.g. other D) — flip via this module toggle + jax.clear_caches().
 EMIT_TRANSPOSED = False
 
+# Direction-batched vertical sweeps: process the K fused directions as ONE
+# (K, N, D) slab per scan row — the renorm roll-tree, the up/dn lane
+# shifts, and the bracket mins run once on a K-fold-taller slab instead of
+# K times on (N, D), cutting per-row op issues ~2.5x for the K=3 8-path
+# sweeps at identical vector work. Costs K-fold-larger live temps (VMEM
+# risk — gated off for p2_maps / emit variants); toggle for on-chip A/B.
+BATCH_DIRS = True
+
 # MXU-assisted WTA refinement: the uniqueness and subpixel stages are
 # one-hot extractions / violation counts over the lane axis — lane SUMS,
 # not mins — so they can ride an (N, D) @ (D, 1) matmul with a ones
@@ -121,7 +129,7 @@ def _min_lanes_full(x: jnp.ndarray) -> jnp.ndarray:
 
 def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
                   n_s, has_p2m, has_init, has_fin, g_frame,
-                  emit_t=False):
+                  emit_t=False, batch_k=False):
     """One grid step = R scanlines, walked serially in-register (reversed
     for reverse sweeps). rest = (*s_refs, [p2_ref], [init_ref], out_ref,
     [fin_ref], carry_ref) depending on flags; n_s S volumes (0-2) are
@@ -173,6 +181,7 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
 
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 0)
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
+    K = len(dxs)
 
     if emit_t:
         sub = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 2)
@@ -182,29 +191,77 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
         if d_real < D:  # padded disparity lanes act as +inf hypotheses
             c = jnp.where(lane_idx >= d_real, _BIG, c)
 
-        total = None
-        for k, dx in enumerate(dxs):
-            q = carry_ref[k]
-            if dx != 0:
-                q = _roll(q, dx, axis=0)
-                # rows whose predecessor (n - dx) falls outside [0, n_real)
-                # start a fresh path: uniform-zero q gives L = C below. For
-                # dx == 0 padded rows never interact with real rows.
-                invalid = (row_idx < dx) | (row_idx >= n_real + dx)
-                q = jnp.where(invalid, 0, q)
+        if batch_k:
+            # all K directions as one (K, N, D) slab per row: one renorm
+            # tree on (K*N, D), one up/dn shift pair, one bracket — ~2.5x
+            # fewer op issues for K=3 at identical vector work. The dx
+            # shifts differ per direction: roll the whole slab both ways
+            # and select per-k; the predecessor-out-of-range mask applies
+            # uniformly ((row < dx_k) | (row >= n_real + dx_k) — for
+            # dx == 0 it merely zeroes padded rows, whose outputs are
+            # sliced off and whose carries other rows never read unmasked).
+            Q = carry_ref[...]
+            laneK = jax.lax.broadcasted_iota(jnp.int32, (K, N, D), 2)
+            if any(dx != 0 for dx in dxs):
+                # per-k masks from iotas (pallas_call rejects captured
+                # constant arrays as implicit inputs)
+                kidx = jax.lax.broadcasted_iota(jnp.int32, (K, N, D), 0)
+                rowK = jax.lax.broadcasted_iota(jnp.int32, (K, N, D), 1)
 
-            up = _roll(q, -1, axis=1)
-            up = jnp.where(lane_idx == D - 1, _BIG, up)
-            dn = _roll(q, 1, axis=1)
-            dn = jnp.where(lane_idx == 0, _BIG, dn)
-            if p2_ref is not None:
-                p2 = p2_ref[j][:, k:k + 1]
-            else:
-                p2 = p2_const
-            cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn) + p1), p2)
-            L = c + cand
-            carry_ref[k] = L - _min_lanes_full(L)
-            total = L if total is None else total + L
+                def kmask(ks):
+                    m = kidx == ks[0]
+                    for k in ks[1:]:
+                        m = m | (kidx == k)
+                    return m
+
+                pos_ks = [k for k, dx in enumerate(dxs) if dx == 1]
+                neg_ks = [k for k, dx in enumerate(dxs) if dx == -1]
+                dxa = jnp.zeros((), jnp.int32)
+                if pos_ks:
+                    posm = kmask(pos_ks)
+                    Q = jnp.where(posm, _roll(Q, 1, axis=1), Q)
+                    dxa = dxa + posm.astype(jnp.int32)
+                if neg_ks:
+                    negm = kmask(neg_ks)
+                    Q = jnp.where(negm, _roll(Q, -1, axis=1), Q)
+                    dxa = dxa - negm.astype(jnp.int32)
+                Q = jnp.where((rowK < dxa) | (rowK >= n_real + dxa), 0, Q)
+            up = _roll(Q, -1, axis=2)
+            up = jnp.where(laneK == D - 1, _BIG, up)
+            dn = _roll(Q, 1, axis=2)
+            dn = jnp.where(laneK == 0, _BIG, dn)
+            cand = jnp.minimum(jnp.minimum(Q, jnp.minimum(up, dn) + p1),
+                               p2_const)
+            L = c[None] + cand
+            M = _min_lanes_full(L.reshape(K * N, D)).reshape(K, N, D)
+            carry_ref[...] = L - M
+            total = jnp.sum(L, axis=0)
+        else:
+            total = None
+            for k, dx in enumerate(dxs):
+                q = carry_ref[k]
+                if dx != 0:
+                    q = _roll(q, dx, axis=0)
+                    # rows whose predecessor (n - dx) falls outside
+                    # [0, n_real) start a fresh path: uniform-zero q gives
+                    # L = C below. For dx == 0 padded rows never interact
+                    # with real rows.
+                    invalid = (row_idx < dx) | (row_idx >= n_real + dx)
+                    q = jnp.where(invalid, 0, q)
+
+                up = _roll(q, -1, axis=1)
+                up = jnp.where(lane_idx == D - 1, _BIG, up)
+                dn = _roll(q, 1, axis=1)
+                dn = jnp.where(lane_idx == 0, _BIG, dn)
+                if p2_ref is not None:
+                    p2 = p2_ref[j][:, k:k + 1]
+                else:
+                    p2 = p2_const
+                cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn) + p1),
+                                   p2)
+                L = c + cand
+                carry_ref[k] = L - _min_lanes_full(L)
+                total = L if total is None else total + L
 
         out = total.astype(jnp.int16)
         for s_ref in s_refs:
@@ -320,7 +377,8 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
         d_real=d_real, R=R, reverse=reverse,
         n_s=len(s_list), has_p2m=p2_maps is not None,
         has_init=init_carry is not None, has_fin=return_final_carry,
-        g_frame=G // frames, emit_t=emit_transposed)
+        g_frame=G // frames, emit_t=emit_transposed,
+        batch_k=BATCH_DIRS and K > 1 and p2_maps is None)
 
     if emit_transposed:
         # rank-4 (N, G, R, D): R a whole array dim -> every block
