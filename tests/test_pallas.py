@@ -362,6 +362,25 @@ def test_component_big_bitonic_matches_lax(rng):
         sizes >= 5)
 
 
+def test_component_big_frames_matches_per_frame(rng):
+    """Batched-axis sort formulation == per-frame component_big."""
+    from tpustereo.ops.postproc import (component_big, component_big_frames,
+                                        connected_component_labels)
+    H, W, F = 32, 48, 3
+    labs = []
+    for f in range(F):
+        d = rng.random((H, W)) < 0.5 + 0.1 * f
+        lab = connected_component_labels(jnp.asarray(d[:, :-1] & d[:, 1:]),
+                                         jnp.asarray(d[:-1, :] & d[1:, :]))
+        labs.append(lab)
+    labs = jnp.stack(labs)
+    for thresh in (1, 6, 30):
+        ref = np.stack([np.asarray(component_big(labs[f], thresh))
+                        for f in range(F)])
+        got = np.asarray(component_big_frames(labs, thresh))
+        np.testing.assert_array_equal(ref, got)
+
+
 def test_sweep_emit_transposed_matches_transpose(small_pair):
     """Two fused transposed-emission sweeps, absorbed by a two-S-operand
     forward sweep, == chained sweeps + tile transpose + one-S forward."""

@@ -57,9 +57,11 @@ EMIT_TRANSPOSED = False
 # (K, N, D) slab per scan row — the renorm roll-tree, the up/dn lane
 # shifts, and the bracket mins run once on a K-fold-taller slab instead of
 # K times on (N, D), cutting per-row op issues ~2.5x for the K=3 8-path
-# sweeps at identical vector work. Costs K-fold-larger live temps (VMEM
-# risk — gated off for p2_maps / emit variants); toggle for on-chip A/B.
-BATCH_DIRS = True
+# sweeps. Measured on chip (r22, KITTI F=4 b16): 15.392 ms batched vs
+# 15.381 per-direction — a wash; the sweeps are genuinely compute-bound,
+# not issue-bound. Default OFF (per-direction has K-fold smaller live
+# temps, so less scoped-VMEM risk); kept exact + tested for re-measurement.
+BATCH_DIRS = False
 
 # MXU-assisted WTA refinement: the uniqueness and subpixel stages are
 # one-hot extractions / violation counts over the lane axis — lane SUMS,

@@ -298,6 +298,29 @@ def speckle(disp: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     return valid & big
 
 
+def component_big_frames(labs: jnp.ndarray, thresh: int) -> jnp.ndarray:
+    """`component_big` over (F, H, W) per-frame labellings with ONE
+    batched-axis lax.sort pair per stage (sorts along the last axis of
+    (F, n) — shallower network than sorting the F*n concatenation, no
+    cross-frame label offsets). Bit-exact vs per-frame `component_big`."""
+    F, H, W = labs.shape
+    n = H * W
+    flat = labs.reshape(F, n)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (F, n))
+    sl, si = jax.lax.sort((flat, idx), dimension=-1, num_keys=1)
+    pos = idx
+    ones = jnp.ones((F, 1), bool)
+    is_start = jnp.concatenate([ones, sl[:, 1:] != sl[:, :-1]], axis=1)
+    is_end = jnp.concatenate([sl[:, 1:] != sl[:, :-1], ones], axis=1)
+    spos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos, -1), axis=1)
+    epos = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(is_end, pos, n), reverse=True, axis=1)
+    big = (epos - spos + 1) >= thresh
+    out = jax.lax.sort(si * 2 + big.astype(jnp.int32), dimension=-1)
+    return (out & 1).astype(bool).reshape(F, H, W)
+
+
 def speckle_frames(disp: jnp.ndarray, valid: jnp.ndarray,
                    cfg: Config) -> jnp.ndarray:
     """`speckle` over (F, H, W) stacked frames.
@@ -321,12 +344,16 @@ def speckle_frames(disp: jnp.ndarray, valid: jnp.ndarray,
                               interpret=(mode == "interpret"))
                 for f in range(F)]
         return valid & jnp.stack(bigs)
-    assert F * H * W < (1 << 31)
-    labs = [speckle_labels(disp[f], valid[f], cfg) + f * (H * W)
-            for f in range(F)]
-    big = component_big(jnp.concatenate(labs, axis=0),
-                        cfg.speckle_window_size)
-    return valid & big.reshape(F, H, W)
+    # batched-axis sorts, one (F, n) lax.sort pair per stage: the sort
+    # network depth is O(log^2 n) per row instead of O(log^2 (F*n)) for
+    # the old concatenated form (~18% fewer comparator passes on the same
+    # data volume at F=4), and per-frame labels need no cross-frame
+    # offsets. r22 differencing: the two sorts ARE speckle's cost
+    # (2.82 ms/frame of the 2.78+0.22 total at KITTI F=4).
+    labs = jnp.stack([speckle_labels(disp[f], valid[f], cfg)
+                      for f in range(F)])
+    big = component_big_frames(labs, cfg.speckle_window_size)
+    return valid & big
 
 
 # ---------------------------------------------------------------------------
