@@ -344,16 +344,18 @@ def speckle_frames(disp: jnp.ndarray, valid: jnp.ndarray,
                               interpret=(mode == "interpret"))
                 for f in range(F)]
         return valid & jnp.stack(bigs)
-    # batched-axis sorts, one (F, n) lax.sort pair per stage: the sort
-    # network depth is O(log^2 n) per row instead of O(log^2 (F*n)) for
-    # the old concatenated form (~18% fewer comparator passes on the same
-    # data volume at F=4), and per-frame labels need no cross-frame
-    # offsets. r22 differencing: the two sorts ARE speckle's cost
-    # (2.82 ms/frame of the 2.78+0.22 total at KITTI F=4).
-    labs = jnp.stack([speckle_labels(disp[f], valid[f], cfg)
-                      for f in range(F)])
-    big = component_big_frames(labs, cfg.speckle_window_size)
-    return valid & big
+    # One flat lax.sort pair over the F*n concatenation with per-frame
+    # label offsets. The batched-axis (F, n) form (component_big_frames)
+    # measured 1.65 ms/frame SLOWER on chip despite its shallower per-row
+    # network (r23: 17.03 vs 15.38 ms at KITTI F=4 b16) — XLA's TPU sort
+    # runs the flat shape better; r22 differencing puts these sorts at
+    # 2.82 ms/frame, ~all of speckle's cost.
+    assert F * H * W < (1 << 31)
+    labs = [speckle_labels(disp[f], valid[f], cfg) + f * (H * W)
+            for f in range(F)]
+    big = component_big(jnp.concatenate(labs, axis=0),
+                        cfg.speckle_window_size)
+    return valid & big.reshape(F, H, W)
 
 
 # ---------------------------------------------------------------------------
