@@ -362,6 +362,20 @@ def test_component_big_bitonic_matches_lax(rng):
         sizes >= 5)
 
 
+def test_sweep_batch_dirs_matches_per_direction(small_pair, monkeypatch):
+    """BATCH_DIRS (off-default: r22 measured a perf wash) must stay
+    bit-exact vs the per-direction sweep path."""
+    import tpustereo.kernels.sgm_pallas as sp
+    cfg = Config(num_disparities=128, paths=8)
+    C = _volume(small_pair, cfg)
+    ref = np.asarray(sp.aggregate_pallas(C, cfg, jnp.asarray(small_pair[0]),
+                                         interpret=True))
+    monkeypatch.setattr(sp, "BATCH_DIRS", True)
+    got = np.asarray(sp.aggregate_pallas(C, cfg, jnp.asarray(small_pair[0]),
+                                         interpret=True))
+    np.testing.assert_array_equal(ref, got)
+
+
 def test_component_big_frames_matches_per_frame(rng):
     """Batched-axis sort formulation == per-frame component_big."""
     from tpustereo.ops.postproc import (component_big, component_big_frames,

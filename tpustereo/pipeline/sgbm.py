@@ -24,6 +24,10 @@ INVALID = -1.0  # plain float: module import must not initialise the backend
 from tpustereo.utils.backend import pallas_mode as _pallas_mode  # noqa: E402
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
 def _bwd_feasible(H: int, F: int, cfg: Config) -> bool:
     """VMEM gate for the fused bwd+WTA kernel: its sublane axis is the
     (frame-stacked) padded image height. The F=8 KITTI stack measured
@@ -166,8 +170,12 @@ def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
         # fused transposed emission only for single-plane censuses: with
         # two bitplanes (census_bits > 32) the extra double-buffered Ct
         # block pushed the cost kernel 952K over the 16M scoped-VMEM limit
-        # on chip (r10 batch) — those configs keep the standalone transpose
-        fuse_ct = cfg.census_bits <= 32
+        # on chip (r10 batch) — those configs keep the standalone transpose.
+        # Width gate: the kernel's in-kernel i32 shear/broadcast temps
+        # scale with R*Wq*D — Wq=1536 fits (ran exact, r21), Wq=3072 OOMs
+        # scoped VMEM (true-Middlebury full-res, r2-probe) — so wide
+        # volumes also keep the standalone transpose.
+        fuse_ct = cfg.census_bits <= 32 and _round_up(W, 128) <= 1536
         with jax.named_scope("cost_volume"):
             res = census_cost_volume_pallas(
                 left, right, cfg.num_disparities, cfg.max_census_cost,
@@ -239,7 +247,8 @@ def sgbm_frames(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
                                        sgm_select_pallas)
         interp = mode == "interpret"
         D = cfg.num_disparities
-        fuse_ct = cfg.census_bits <= 32  # see sgbm: 2-plane + Ct OOMs VMEM
+        fuse_ct = (cfg.census_bits <= 32
+                   and _round_up(W, 128) <= 1536)  # see sgbm: VMEM gates
         with jax.named_scope("cost_volume"):
             res = census_cost_volume_pallas(
                 left, right, D, cfg.max_census_cost, cfg.census_window,
