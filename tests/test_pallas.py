@@ -376,6 +376,24 @@ def test_sweep_batch_dirs_matches_per_direction(small_pair, monkeypatch):
     np.testing.assert_array_equal(ref, got)
 
 
+def test_running_scan_hillis_steele_matches_assoc(rng, monkeypatch):
+    """The large-n Hillis-Steele path (associative_scan compiles
+    pathologically beyond ~2M on the TPU) == associative_scan."""
+    import jax
+
+    import tpustereo.ops.postproc as pp
+    v = jnp.asarray(rng.integers(-50, 50, (3001,)).astype(np.int32))
+    want_max = np.asarray(jax.lax.associative_scan(jnp.maximum, v))
+    want_min = np.asarray(jax.lax.associative_scan(jnp.minimum, v,
+                                                   reverse=True))
+    monkeypatch.setattr(pp, "_ASSOC_SCAN_MAX_N", 16)
+    np.testing.assert_array_equal(
+        np.asarray(pp._running_scan(v, jnp.maximum, -(1 << 30))), want_max)
+    np.testing.assert_array_equal(
+        np.asarray(pp._running_scan(v, jnp.minimum, 1 << 30, reverse=True)),
+        want_min)
+
+
 def test_component_big_frames_matches_per_frame(rng):
     """Batched-axis sort formulation == per-frame component_big."""
     from tpustereo.ops.postproc import (component_big, component_big_frames,

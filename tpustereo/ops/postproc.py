@@ -196,6 +196,31 @@ def connected_component_labels(conn_h: jnp.ndarray, conn_v: jnp.ndarray,
     return lab
 
 
+# XLA's associative_scan compiles pathologically on the TPU beyond ~2M
+# elements (measured: component_big at 4.5M sat >40 min in the remote
+# compiler while the 4.5M lax.sort alone took 16.5 s — the whole
+# 1500x3000 pipeline program exceeded 2 h in two attempts). Above the
+# gate, running max/min scans run as a static Hillis-Steele loop instead:
+# ~log2(n) concat+extreme pairs of trivial IR; O(n log n) work is fine at
+# the sizes involved and it only engages where associative_scan is
+# unusable anyway.
+_ASSOC_SCAN_MAX_N = 1 << 21
+
+
+def _running_scan(v: jnp.ndarray, op, fill, reverse: bool = False):
+    (n,) = v.shape
+    if n <= _ASSOC_SCAN_MAX_N:
+        return jax.lax.associative_scan(op, v, reverse=reverse)
+    s = 1
+    while s < n:
+        pad = jnp.full((s,), fill, v.dtype)
+        sh = (jnp.concatenate([v[s:], pad]) if reverse
+              else jnp.concatenate([pad, v[:-s]]))
+        v = op(v, sh)
+        s <<= 1
+    return v
+
+
 def component_sizes(lab: jnp.ndarray) -> jnp.ndarray:
     """Per-pixel size of the pixel's component, given any component-constant
     labelling. Scatter/gather-free (TPU lowers both badly — the .at[].add
@@ -211,10 +236,9 @@ def component_sizes(lab: jnp.ndarray) -> jnp.ndarray:
     pos = jnp.arange(n, dtype=jnp.int32)
     is_start = jnp.concatenate([jnp.ones((1,), bool), sl[1:] != sl[:-1]])
     is_end = jnp.concatenate([sl[1:] != sl[:-1], jnp.ones((1,), bool)])
-    spos = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, pos, -1))
-    epos = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(is_end, pos, n), reverse=True)
+    spos = _running_scan(jnp.where(is_start, pos, -1), jnp.maximum, -1)
+    epos = _running_scan(jnp.where(is_end, pos, n), jnp.minimum, n,
+                         reverse=True)
     count = epos - spos + 1
     _, out = jax.lax.sort((si, count), num_keys=1)
     return out.reshape(H, W)
@@ -246,10 +270,9 @@ def component_big(lab: jnp.ndarray, thresh: int, use_pallas: bool = False,
     pos = jnp.arange(n, dtype=jnp.int32)
     is_start = jnp.concatenate([jnp.ones((1,), bool), sl[1:] != sl[:-1]])
     is_end = jnp.concatenate([sl[1:] != sl[:-1], jnp.ones((1,), bool)])
-    spos = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, pos, -1))
-    epos = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(is_end, pos, n), reverse=True)
+    spos = _running_scan(jnp.where(is_start, pos, -1), jnp.maximum, -1)
+    epos = _running_scan(jnp.where(is_end, pos, n), jnp.minimum, n,
+                         reverse=True)
     big = (epos - spos + 1) >= thresh
     packed = si * 2 + big.astype(jnp.int32)
     if use_pallas and bitonic_feasible(n, False):
