@@ -227,12 +227,17 @@ def component_sizes(lab: jnp.ndarray) -> jnp.ndarray:
     histogram + lookup measured 9.7 ms at KITTI size vs ~4 ms for this):
     sort labels (carrying source indices), run lengths via cummax/cummin of
     run boundary positions, then a second sort on the source indices carries
-    the counts back — a sort is the one fast "permutation" op on TPU."""
+    the counts back — a sort is the one fast "permutation" op on TPU.
+
+    All sorts here are is_stable=False: run boundaries depend only on the
+    keys, every pixel of a run receives the same count/bit regardless of
+    payload order, and the distribute sorts have distinct keys (si is a
+    permutation) — stability buys nothing and XLA may sort cheaper."""
     H, W = lab.shape
     n = H * W
     flat = lab.reshape(-1)
     idx = jnp.arange(n, dtype=jnp.int32)
-    sl, si = jax.lax.sort((flat, idx), num_keys=1)
+    sl, si = jax.lax.sort((flat, idx), num_keys=1, is_stable=False)
     pos = jnp.arange(n, dtype=jnp.int32)
     is_start = jnp.concatenate([jnp.ones((1,), bool), sl[1:] != sl[:-1]])
     is_end = jnp.concatenate([sl[1:] != sl[:-1], jnp.ones((1,), bool)])
@@ -240,7 +245,7 @@ def component_sizes(lab: jnp.ndarray) -> jnp.ndarray:
     epos = _running_scan(jnp.where(is_end, pos, n), jnp.minimum, n,
                          reverse=True)
     count = epos - spos + 1
-    _, out = jax.lax.sort((si, count), num_keys=1)
+    _, out = jax.lax.sort((si, count), num_keys=1, is_stable=False)
     return out.reshape(H, W)
 
 
@@ -266,7 +271,7 @@ def component_big(lab: jnp.ndarray, thresh: int, use_pallas: bool = False,
     if use_pallas and bitonic_feasible(n, True):
         sl, si = bitonic_sort_pallas(flat, idx, interpret=interpret)
     else:
-        sl, si = jax.lax.sort((flat, idx), num_keys=1)
+        sl, si = jax.lax.sort((flat, idx), num_keys=1, is_stable=False)
     pos = jnp.arange(n, dtype=jnp.int32)
     is_start = jnp.concatenate([jnp.ones((1,), bool), sl[1:] != sl[:-1]])
     is_end = jnp.concatenate([sl[1:] != sl[:-1], jnp.ones((1,), bool)])
@@ -278,7 +283,7 @@ def component_big(lab: jnp.ndarray, thresh: int, use_pallas: bool = False,
     if use_pallas and bitonic_feasible(n, False):
         out = bitonic_sort_pallas(packed, interpret=interpret)
     else:
-        out = jax.lax.sort(packed)
+        out = jax.lax.sort(packed, is_stable=False)
     return (out & 1).astype(bool).reshape(H, W)
 
 
@@ -330,7 +335,8 @@ def component_big_frames(labs: jnp.ndarray, thresh: int) -> jnp.ndarray:
     n = H * W
     flat = labs.reshape(F, n)
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (F, n))
-    sl, si = jax.lax.sort((flat, idx), dimension=-1, num_keys=1)
+    sl, si = jax.lax.sort((flat, idx), dimension=-1, num_keys=1,
+                          is_stable=False)
     pos = idx
     ones = jnp.ones((F, 1), bool)
     is_start = jnp.concatenate([ones, sl[:, 1:] != sl[:, :-1]], axis=1)
@@ -340,7 +346,8 @@ def component_big_frames(labs: jnp.ndarray, thresh: int) -> jnp.ndarray:
     epos = jax.lax.associative_scan(
         jnp.minimum, jnp.where(is_end, pos, n), reverse=True, axis=1)
     big = (epos - spos + 1) >= thresh
-    out = jax.lax.sort(si * 2 + big.astype(jnp.int32), dimension=-1)
+    out = jax.lax.sort(si * 2 + big.astype(jnp.int32), dimension=-1,
+                       is_stable=False)
     return (out & 1).astype(bool).reshape(F, H, W)
 
 
