@@ -58,6 +58,13 @@ def main():
     elif case == "midfull":
         L, R, out = run(cfg_h, (1500, 3000), 100.0, 0.03, 10)
         data = {"L": L, "R": R, "out": out}
+    elif case == "tsukuba":
+        L, R, out = run(PRESETS["tsukuba_sad"], (288, 384), 12.0, 0.03, 3)
+        data = {"L": L, "R": R, "out": out}
+    elif case == "census_wta":
+        L, R, out = run(PRESETS["middlebury_census_wta"], (375, 621),
+                        25.0, 0.03, 4)
+        data = {"L": L, "R": R, "out": out}
     else:
         raise SystemExit(f"unknown case {case}")
     np.savez_compressed(out_path, **data)
