@@ -6,7 +6,6 @@ and adds the judged bench/eval/odometry modes (SURVEY.md §4.5)."""
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import sys
 import typing
@@ -41,22 +40,16 @@ def config_from_args(args) -> Config:
     if getattr(args, "config", None):
         cfg = Config.from_toml(args.config)
     overrides = {}
-    types = {f.name: f.type for f in dataclasses.fields(Config)}
-    # dataclasses stores string annotations under `from __future__ import
-    # annotations`; resolve the common ones by name.
-    named = {"mode": str, "num_disparities": int, "min_disparity": int,
-             "census_window": tuple, "sad_block": int, "paths": int,
-             "p1": int, "p2": int, "adaptive_p2": bool,
-             "uniqueness_ratio": int, "subpixel": bool,
-             "disp12_max_diff": int, "speckle_window_size": int,
-             "speckle_range": int, "median_filter": bool, "batch_size": int,
-             "strips": int, "halo": int, "exact_tiling": bool,
-             "backend": str}
+    # `from __future__ import annotations` stringifies dataclass field
+    # annotations; get_type_hints resolves them all, so every Config field
+    # is settable and new fields can never silently coerce to str (the old
+    # hand-maintained name->type map omitted frames_per_step/fill_mode).
+    types = typing.get_type_hints(Config)
     for kv in getattr(args, "set", None) or []:
         key, _, raw = kv.partition("=")
         if key not in types:
             raise SystemExit(f"unknown config key {key!r}; known: {sorted(types)}")
-        overrides[key] = _coerce(named.get(key, str), raw)
+        overrides[key] = _coerce(types[key], raw)
     return cfg.replace(**overrides) if overrides else cfg
 
 
