@@ -125,6 +125,48 @@ def stage_times(left, right, cfg: Config, iters: int = 5) -> Dict[str, float]:
     return {k: round(v, 3) for k, v in ms.items()}
 
 
+def production_stage_times(cfg: Config, lefts, rights, iters: int = 10) -> Dict[str, float]:
+    """In-context per-stage ms/frame of the EXECUTED production composition
+    (the frames_per_step=F fused `sgbm_batched` pipeline) via pipeline
+    differencing: time the full pipeline, then the same pipeline with one
+    postproc stage disabled at a time, and attribute the difference — the
+    r21/r22 methodology, now reproducible from `bench --stages` instead of
+    bespoke batch scripts (VERDICT r2 weak #2). The 'core' row (cost + 4
+    sweeps + fused WTA) is measured directly with all postproc off;
+    'unattributed' is full − core − Σ(stages) and absorbs fusion overlap
+    (can be slightly negative — stages XLA overlaps with the core)."""
+    from tpustereo.pipeline import sgbm_batched
+
+    batch = lefts.shape[0]
+
+    def ms_for(c: Config) -> float:
+        sec = _timed_device_loop(lambda l, r: sgbm_batched(l, r, c),
+                                 lefts, rights, iters=iters)
+        return sec / batch * 1e3
+
+    full = ms_for(cfg)
+    out: Dict[str, float] = {"full_pipeline": full}
+    strip = {}
+    if cfg.speckle_window_size > 0:
+        out["speckle"] = full - ms_for(cfg.replace(speckle_window_size=0))
+        strip["speckle_window_size"] = 0
+    if cfg.median_filter:
+        out["median3"] = full - ms_for(cfg.replace(median_filter=False))
+        strip["median_filter"] = False
+    if cfg.disp12_max_diff >= 0 and cfg.fill_mode != "hirschmuller":
+        out["lr_check"] = full - ms_for(cfg.replace(disp12_max_diff=-1))
+        strip["disp12_max_diff"] = -1
+    if cfg.fill_mode != "off":
+        out["fill"] = full - ms_for(cfg.replace(fill_mode="off"))
+        strip["fill_mode"] = "off"
+    core = ms_for(cfg.replace(**strip))
+    out["core(cost+sweeps+wta)"] = core
+    out["unattributed"] = full - core - sum(
+        v for k, v in out.items() if k not in ("full_pipeline",
+                                               "core(cost+sweeps+wta)"))
+    return {k: round(v, 3) for k, v in out.items()}
+
+
 def run_benchmark(cfg: Config, shape: Tuple[int, int] = (375, 1242),
                   batch: int = 2, iters: int = 10, stages: bool = False,
                   tiled: bool = False, mesh: Optional[object] = None,
@@ -184,5 +226,11 @@ def run_benchmark(cfg: Config, shape: Tuple[int, int] = (375, 1242),
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
     if stages:
-        record["stage_ms"] = stage_times(L, R, cfg)
+        if cfg.mode == "sgm" and not tiled:
+            # the production composition (frames_per_step fused batched
+            # pipeline), decomposed in context by differencing
+            record["stage_ms"] = production_stage_times(cfg, lefts, rights,
+                                                        iters=iters)
+        else:
+            record["stage_ms"] = stage_times(L, R, cfg)
     return record
