@@ -233,4 +233,18 @@ def run_benchmark(cfg: Config, shape: Tuple[int, int] = (375, 1242),
                                                         iters=iters)
         else:
             record["stage_ms"] = stage_times(L, R, cfg)
+    # analytic ops/bytes roofline: names the bounding resource for this
+    # measurement (SURVEY.md §6; free — no extra device work)
+    from tpustereo.eval.roofline import roofline
+    core_ms = (record.get("stage_ms") or {}).get("core(cost+sweeps+wta)")
+    rl = roofline(cfg, shape, sec / batch,
+                  device_kind=record["device_kind"],
+                  core_sec_per_frame=(core_ms / 1e3 if core_ms else None))
+    if rl is not None:
+        record["roofline"] = rl
+    if profile_dir:
+        from tpustereo.eval.roofline import device_busy_fraction
+        busy = device_busy_fraction(profile_dir)
+        if busy:
+            record["device_busy_fraction"] = busy
     return record
