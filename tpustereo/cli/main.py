@@ -123,6 +123,16 @@ def cmd_bench(args) -> int:
     from tpustereo.eval.bench import run_benchmark
     cfg = config_from_args(args) if (args.preset or args.config or args.set) \
         else PRESETS["kitti_sgm8"]
+    if args.odometry:
+        from tpustereo.eval.bench import run_odometry_benchmark
+        record = run_odometry_benchmark(
+            cfg, shape=tuple(int(v) for v in args.shape.split("x")),
+            frames=max(args.batch, 1), iters=args.iters)
+        print(json.dumps(record, indent=2))
+        if args.record:
+            with open(args.record, "a") as f:
+                f.write(json.dumps(record) + "\n")
+        return 0
     if args.multihost:
         from tpustereo.eval.multihost import run_multihost_bench
         record = run_multihost_bench(
@@ -238,6 +248,9 @@ def main(argv=None) -> int:
     b.add_argument("--multihost", type=int, metavar="N",
                    help="spawn an N-process jax.distributed cluster and "
                         "report scaling efficiency (SURVEY.md §5.0)")
+    b.add_argument("--odometry", action="store_true",
+                   help="bench the fused odometry tracking step "
+                        "(--batch = frames per scanned step)")
     b.add_argument("--record", help="append the JSON record to this file")
     b.add_argument("--profile", metavar="DIR",
                    help="write a jax.profiler trace of the timed loop")

@@ -167,6 +167,69 @@ def production_stage_times(cfg: Config, lefts, rights, iters: int = 10) -> Dict[
     return {k: round(v, 3) for k, v in out.items()}
 
 
+def run_odometry_benchmark(cfg: Config, shape: Tuple[int, int] = (375, 1242),
+                           frames: int = 4, iters: int = 10,
+                           ocfg=None) -> dict:
+    """Throughput of the fused odometry tracking step (SURVEY.md §4.4;
+    VERDICT r2 #1 'a measured frames/s for the odometry loop').
+
+    Times the DEVICE-side per-frame work — the full fused program (SGM
+    pipeline + corners + descriptors + keyframe matching + GN pose) scanned
+    over `frames` stacked pairs against a fixed keyframe, inside one XLA
+    program (`_timed_device_loop` discipline: the tunnelled dev chip's
+    dispatch RTT must not pollute the number). Host-side keyframe/graph
+    bookkeeping (microseconds of numpy) and the per-frame decision
+    transfer are excluded: on the tunnel that transfer costs a 30-45 ms
+    RTT that co-located hardware would not pay."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from tpustereo.data.synthetic import synthetic_sequence
+    from tpustereo.odometry import OdometryConfig
+    from tpustereo.odometry.fused import fused_track_step
+
+    H, W = shape
+    ocfg = ocfg or OdometryConfig()
+    calib, seq, _ = synthetic_sequence(
+        n_frames=frames + 1, shape=shape, depth=12.0, fx=718.0,
+        baseline=0.54, step_x=0.08, slant=0.35, seed=3)
+    intr = jnp.asarray([calib.fx, calib.fy, calib.cx, calib.cy], jnp.float32)
+    baseline = jnp.float32(calib.baseline)
+    K = ocfg.max_corners
+    zeros = (jnp.zeros((K, 64), jnp.float32), jnp.zeros((K,), bool),
+             jnp.zeros((K, 3), jnp.float32))
+    out0 = fused_track_step(jnp.asarray(seq[0][0]), jnp.asarray(seq[0][1]),
+                            *zeros, intr, baseline, cfg, ocfg)
+    kf = (out0.desc, out0.valid, out0.X)
+    Ls = jnp.stack([jnp.asarray(L) for L, _ in seq[1:]])
+    Rs = jnp.stack([jnp.asarray(R) for _, R in seq[1:]])
+
+    def track_many(ls, rs, kf_desc, kf_valid, kf_X):
+        def body(c, lr):
+            o = fused_track_step.__wrapped__(lr[0], lr[1], kf_desc, kf_valid,
+                                             kf_X, intr, baseline, cfg, ocfg)
+            return c, o.T
+
+        _, Ts = jax.lax.scan(body, jnp.int32(0), (ls, rs))
+        return Ts
+
+    sec = _timed_device_loop(track_many, Ls, Rs, *kf, iters=iters) / frames
+    return {
+        "metric": f"odometry fused-step fps/chip ({H}x{W}, "
+                  f"D={cfg.num_disparities}, {cfg.paths}-path)",
+        "value": round(1.0 / sec, 3),
+        "unit": "fps/chip",
+        "ms_per_frame": round(sec * 1e3, 3),
+        "frames_per_step": frames,
+        "max_corners": K,
+        "device_kind": jax.devices()[0].device_kind,
+        "backend": jax.default_backend(),
+        "git_sha": _git_sha(),
+        "config": dataclasses.asdict(cfg),
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+
+
 def run_benchmark(cfg: Config, shape: Tuple[int, int] = (375, 1242),
                   batch: int = 2, iters: int = 10, stages: bool = False,
                   tiled: bool = False, mesh: Optional[object] = None,

@@ -1,10 +1,13 @@
 """Stereo visual odometry backend (cv_slam tier; SURVEY.md §3 #19, §4.4).
 
-Per frame: disparity (full TPU pipeline) -> depth -> Harris corners +
-NCC-patch descriptors (on-device) -> match against the last keyframe (one
-MXU matmul) -> Gauss-Newton 3D→2D pose -> host-side keyframe decision ->
-keyframe pose graph, periodically re-optimized. State is checkpointable
-(SURVEY.md §5.4) so a killed run resumes at the last keyframe.
+Per frame: ONE fused device program (`odometry.fused.fused_track_step`)
+computes disparity (full TPU pipeline) + Harris corners + NCC-patch
+descriptors + keyframe matching (one MXU matmul) + Huber-GN pose; the host
+receives only the small (T, residual, n_matches) triple for the keyframe
+decision and pose-graph bookkeeping (two programs in strip-tiled config-5
+mode: tiled matcher, then tracking). Keyframe feature state stays resident
+on the device between frames. State is checkpointable (SURVEY.md §5.4) so
+a killed run resumes at the last keyframe.
 """
 
 from __future__ import annotations
@@ -13,14 +16,29 @@ import dataclasses
 from typing import List, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from tpustereo.config import Config
 from tpustereo.data.datasets import KittiCalib
-from tpustereo.odometry.features import describe, detect_corners, match_descriptors
+from tpustereo.odometry.features import match_descriptors
 from tpustereo.odometry.pnp import gauss_newton_pose
 from tpustereo.odometry.pose_graph import PoseGraph
 from tpustereo.odometry.se3 import inv_se3
+
+# describe() emits 8x8 normalized patches; the bootstrap zero-keyframe
+# state must match its static descriptor width
+_DESC_DIM = 64
+
+
+def _inv_se3_np(T: np.ndarray) -> np.ndarray:
+    """Host-side SE(3) inverse — the per-frame pose update must not pay a
+    device dispatch for a 4x4 inverse."""
+    out = np.eye(4, dtype=np.float32)
+    R, t = T[:3, :3], T[:3, 3]
+    out[:3, :3] = R.T
+    out[:3, 3] = -R.T @ t
+    return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,74 +88,78 @@ class StereoOdometry:
         self._frames = 0
         self._intr = jnp.asarray([calib.fx, calib.fy, calib.cx, calib.cy],
                                  jnp.float32)
+        self._baseline = jnp.float32(calib.baseline)
+        # keyframe feature state resident on device (desc, valid, X) —
+        # re-uploading it every frame would waste a host->device transfer
+        self._kf_dev = None
 
     # ------------------------------------------------------------------
-    def _features(self, left: np.ndarray):
-        img = jnp.asarray(left)
-        pts, valid = detect_corners(img, max_corners=self.ocfg.max_corners)
-        desc = describe(img, pts)
-        return np.asarray(pts), np.asarray(desc), np.asarray(valid)
+    def _kf_state(self):
+        if self._kf_dev is not None:
+            return self._kf_dev
+        # bootstrap: all-zero state — matching finds nothing, GN holds I
+        K = self.ocfg.max_corners
+        return (jnp.zeros((K, _DESC_DIM), jnp.float32),
+                jnp.zeros((K,), bool), jnp.zeros((K, 3), jnp.float32))
 
-    def _backproject(self, pts: np.ndarray, disp: np.ndarray):
-        """3D points (camera frame) at corner pixels from the disparity map.
-        pts may be subpixel floats; the disparity lookup rounds, the ray
-        uses the subpixel position."""
-        pi = np.round(pts).astype(np.int64)
-        pi[:, 0] = np.clip(pi[:, 0], 0, disp.shape[0] - 1)
-        pi[:, 1] = np.clip(pi[:, 1], 0, disp.shape[1] - 1)
-        d = disp[pi[:, 0], pi[:, 1]]
-        z = np.where(d > 0, self.calib.fx * self.calib.baseline
-                     / np.maximum(d, 1e-6), 0.0)
-        ok = (z > self.ocfg.min_depth) & (z < self.ocfg.max_depth)
-        x = (pts[:, 1] - self.calib.cx) * z / self.calib.fx
-        y = (pts[:, 0] - self.calib.cy) * z / self.calib.fy
-        return np.stack([x, y, z], -1).astype(np.float32), ok
+    def _match_device(self, left, right):
+        """Strip-tiled disparity (BASELINE config 5) as a DEVICE array —
+        the tiled program's output feeds the tracking program directly,
+        never visiting the host."""
+        from tpustereo.dist import sgbm_tiled  # late import: spy-able
+        if self._mesh is None:
+            from tpustereo.dist import make_mesh
+            self._mesh = make_mesh(data=1, strip=self.cfg.strips)
+        return sgbm_tiled(left, right, self.cfg, self._mesh)
 
-    def _make_keyframe(self, pts, desc, valid, disp) -> _Keyframe:
-        X, ok = self._backproject(pts, disp)
+    def _store_keyframe(self, out) -> _Keyframe:
+        """Materialize a keyframe from a fused TrackOut: numpy copies for
+        the graph/checkpoint/loop-closure machinery, device handles kept
+        for next frame's matching."""
+        pts, desc, valid, X = jax.device_get((out.pts, out.desc, out.valid,
+                                              out.X))
         node = self.graph.add_keyframe(self.pose)
-        kf = _Keyframe(node, pts, desc, X, valid & ok)
+        kf = _Keyframe(node, pts, desc, X, valid)
         self.kfs.append(kf)
+        self._kf_dev = (out.desc, out.valid, out.X)
         return kf
-
-    def _match(self, left: np.ndarray, right: np.ndarray) -> np.ndarray:
-        """Disparity for one pair: the strip-tiled distributed pipeline when
-        cfg.strips > 1 (BASELINE config 5), single-device otherwise."""
-        from tpustereo.api import match_pair, match_pair_tiled  # avoid cycle
-        if self.cfg.strips > 1:
-            if self._mesh is None:
-                from tpustereo.dist import make_mesh
-                self._mesh = make_mesh(data=1, strip=self.cfg.strips)
-            return match_pair_tiled(left, right, self.cfg, self._mesh)
-        return match_pair(left, right, self.cfg)
 
     # ------------------------------------------------------------------
     def step(self, left: np.ndarray, right: np.ndarray) -> np.ndarray:
-        """Process one rectified pair; returns the current world pose."""
-        disp = self._match(left, right)
-        pts, desc, valid = self._features(left)
+        """Process one rectified pair; returns the current world pose.
+
+        Device dispatches per tracked frame: ONE (the fused program), or
+        TWO with cfg.strips > 1 (tiled matcher + tracking program); plus
+        one small device_get for the keyframe decision. Keyframe frames
+        add one device_get (feature materialization) and the occasional
+        pose-graph/loop-closure work (SURVEY.md §4.4)."""
+        from tpustereo.api import _as_u8  # avoid cycle
+        from tpustereo.odometry.fused import (fused_track_from_disp,
+                                              fused_track_step)
+        l8 = _as_u8(left)
+        kf_desc, kf_valid, kf_X = self._kf_state()
+        if self.cfg.strips > 1:
+            disp = self._match_device(l8, _as_u8(right))
+            out = fused_track_from_disp(l8, disp, kf_desc, kf_valid, kf_X,
+                                        self._intr, self._baseline,
+                                        self.cfg, self.ocfg)
+        else:
+            out = fused_track_step(l8, _as_u8(right), kf_desc, kf_valid,
+                                   kf_X, self._intr, self._baseline,
+                                   self.cfg, self.ocfg)
         self._frames += 1
 
         if self.kf is None:
-            self.kf = self._make_keyframe(pts, desc, valid, disp)
+            self.kf = self._store_keyframe(out)
             self._traj.append(self.pose.copy())
             return self.pose
 
-        idx_b, good = match_descriptors(
-            jnp.asarray(self.kf.desc), jnp.asarray(desc),
-            jnp.asarray(self.kf.valid), jnp.asarray(valid),
-            min_similarity=self.ocfg.min_similarity)
-        idx_b, good = np.asarray(idx_b), np.asarray(good)
-        w = (good & self.kf.valid).astype(np.float32)
-        n_matches = int(w.sum())
-
-        u = pts[idx_b][:, ::-1].astype(np.float32)  # (K, 2) [x, y] pixels
-        T, _res = gauss_newton_pose(jnp.asarray(self.kf.X), jnp.asarray(u),
-                                    jnp.asarray(w), self._intr,
-                                    iters=self.ocfg.gn_iters)
+        # one transfer for everything the host decision needs
+        T, n_matches = jax.device_get((out.T, out.n_matches))
+        n_matches = int(n_matches)
         T = np.asarray(T)  # kf cam -> current cam
         kf_pose = self.graph.poses[self.kf.index]
-        self.pose = (kf_pose @ np.asarray(inv_se3(jnp.asarray(T)))).astype(np.float32)
+        self.pose = (kf_pose @ _inv_se3_np(T)).astype(np.float32)
         self._traj.append(self.pose.copy())
 
         trans = float(np.linalg.norm(T[:3, 3]))
@@ -145,9 +167,9 @@ class StereoOdometry:
         if (trans > self.ocfg.keyframe_translation
                 or rot > self.ocfg.keyframe_rotation
                 or n_matches < self.ocfg.keyframe_min_matches):
-            new_kf = self._make_keyframe(pts, desc, valid, disp)
+            new_kf = self._store_keyframe(out)
             self.graph.add_edge(self.kf.index, new_kf.index,
-                                np.asarray(inv_se3(jnp.asarray(T))),
+                                _inv_se3_np(T),
                                 weight=min(1.0, n_matches / 100.0))
             self.kf = new_kf
             closed = self.ocfg.loop_closure and self._loop_closure(new_kf)
@@ -247,4 +269,8 @@ class StereoOdometry:
         self.pose = extra["cur_pose"]
         self._frames = int(extra["frames"])
         self._traj = [p for p in extra["traj"]]
+        # re-seed the device-resident keyframe state from the checkpoint
+        self._kf_dev = (jnp.asarray(self.kf.desc),
+                        jnp.asarray(self.kf.valid),
+                        jnp.asarray(self.kf.X))
         return self
