@@ -126,6 +126,22 @@ def test_component_big_matches_sizes(rng):
         assert (big == (sizes >= thresh)).all()
 
 
+def test_component_big_scatter_distribute_parity(rng, monkeypatch):
+    # the single-sort (inverse-permutation scatter) distribute variant must
+    # equal the default payload-free second sort bit-for-bit
+    import tpustereo.ops.postproc as pp
+    v = rng.random((24, 40)) < 0.6
+    conn_h = jnp.asarray(v[:, :-1] & v[:, 1:])
+    conn_v = jnp.asarray(v[:-1, :] & v[1:, :])
+    lab = pp.connected_component_labels(conn_h, conn_v)
+    for thresh in (3, 25):
+        want = np.asarray(pp.component_big(lab, thresh))
+        monkeypatch.setattr(pp, "SCATTER_DISTRIBUTE", True)
+        got = np.asarray(pp.component_big(lab, thresh))
+        monkeypatch.setattr(pp, "SCATTER_DISTRIBUTE", False)
+        assert (got == want).all()
+
+
 def test_speckle_worst_case_snake():
     # a long thin valid snake: must NOT be invalidated (component is big);
     # regression test for naive fixed-iteration label propagation.

@@ -279,6 +279,11 @@ def component_big(lab: jnp.ndarray, thresh: int, use_pallas: bool = False,
     epos = _running_scan(jnp.where(is_end, pos, n), jnp.minimum, n,
                          reverse=True)
     big = (epos - spos + 1) >= thresh
+    if SCATTER_DISTRIBUTE:
+        out = jnp.zeros((n,), bool).at[si].set(
+            big, unique_indices=True, indices_are_sorted=False,
+            mode="promise_in_bounds")
+        return out.reshape(H, W)
     packed = si * 2 + big.astype(jnp.int32)
     if use_pallas and bitonic_feasible(n, False):
         out = bitonic_sort_pallas(packed, interpret=interpret)
@@ -310,6 +315,14 @@ def speckle_labels(disp: jnp.ndarray, valid: jnp.ndarray,
 # the kernel did not hold for the flat 1-D shape). Kept as an opt-in for
 # re-measurement on other chips/toolchains; lax.sort is the default.
 BITONIC_SPECKLE = False
+
+# Single-sort speckle (VERDICT r2 #4): replace `component_big`'s payload-
+# free SECOND sort (the distribute-back) with the inverse-permutation
+# scatter out[si] = big — si is a permutation, so the scatter has unique,
+# in-bounds indices (the strongest hints XLA accepts). Whether XLA's TPU
+# scatter beats its sort for a pure permutation is the measurement this
+# toggle exists for; flip + jax.clear_caches() for the on-chip A/B.
+SCATTER_DISTRIBUTE = False
 
 
 def speckle(disp: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> jnp.ndarray:
