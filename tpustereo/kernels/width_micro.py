@@ -1,0 +1,160 @@
+"""Data-width micro-benchmarks for the SGM sweep inner step (VERDICT r2
+missing #4 / next-round #3): measures whether 16-bit arithmetic can beat
+the shipped 32-bit sweep step on this chip.
+
+Three variants of the same per-scanline recurrence work:
+
+* `v32`   — the shipped formulation: int32 slab, up/dn lane rolls, bracket
+  mins, renorm roll-tree (`sgm_pallas._sweep_kernel`'s axial step).
+* `swar`  — 2×16-bit fields packed per int32 lane (two image ROWS share a
+  lane, so every lane roll moves both fields together and Mosaic's 32-bit
+  roll rule is satisfied). Exact per-field min needs ~13 bit-ops (no
+  packed-SIMD min exists in Mosaic): the analytic count says the packed
+  step costs ~2.5x the unpacked one at half the vregs — this kernel turns
+  that into an on-chip number.
+* `elem16` / `elem32` — a pure elementwise min/add chain (no rolls) in
+  int16 vs int32, measuring whether Mosaic runs int16 elementwise at 2x
+  int32 throughput at all (the precondition for ANY future 16-bit path;
+  rolls/reduces are 32-bit-only — CLAUDE.md platform rules).
+
+All values stay < 2^14 so both SWAR fields are borrow/sign-safe.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG16 = 0x4000          # +inf for 16-bit fields (headroom for +P1)
+_HI = -0x7FFF8000        # 0x80008000 as an int32 literal
+
+
+def _min_lanes_full(x):
+    for b in range(7):
+        x = jnp.minimum(x, pltpu.roll(x, 1 << b, axis=x.ndim - 1))
+    return x
+
+
+def _swar_min(a, b):
+    """Per-16-bit-field minimum of packed int32 lanes; both fields of both
+    operands must be in [0, 0x7FFF). ~13 bit-ops (derivation: t's field
+    sign bit = a_f >= b_f because (0x8000 + a_f - b_f) cannot borrow)."""
+    t = (a | _HI) - b
+    m_hi = t & (-0x80000000)
+    e_hi = m_hi >> 15                 # arithmetic shift: 0xFFFF0000 or 0
+    m_lo = t & 0x8000
+    e_lo = (m_lo - (m_lo >> 15)) | m_lo   # 0xFFFF or 0
+    e = e_hi | e_lo
+    return (b & e) | (a & ~e)
+
+
+def _sweep_step32(q, c, lane, D, p1, p2):
+    up = pltpu.roll(q, D - 1, axis=1)
+    up = jnp.where(lane == D - 1, _BIG16, up)
+    dn = pltpu.roll(q, 1, axis=1)
+    dn = jnp.where(lane == 0, _BIG16, dn)
+    cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn) + p1), p2)
+    L = c + cand
+    return L - _min_lanes_full(L), L
+
+
+def _sweep_step_swar(q, c, lane, D, p1, p2):
+    big2 = _BIG16 * 65536 + _BIG16
+    up = pltpu.roll(q, D - 1, axis=1)
+    up = jnp.where(lane == D - 1, big2, up)
+    dn = pltpu.roll(q, 1, axis=1)
+    dn = jnp.where(lane == 0, big2, dn)
+    cand = _swar_min(_swar_min(q, _swar_min(up, dn) + (p1 * 65536 + p1)),
+                     jnp.full(q.shape, p2 * 65536 + p2, jnp.int32))
+    L = c + cand
+    M = L
+    for b in range(7):
+        M = _swar_min(M, pltpu.roll(M, 1 << b, axis=1))
+    return L - M, L
+
+
+def _kernel(c_ref, out_ref, carry_ref, *, mode, p1, p2, R):
+    t = pl.program_id(0)
+    N, D = carry_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
+
+    @pl.when(t == 0)
+    def _():
+        carry_ref[...] = jnp.zeros((N, D), jnp.int32)
+
+    step = _sweep_step_swar if mode == "swar" else _sweep_step32
+    for j in range(R):
+        c = c_ref[j].astype(jnp.int32)
+        q, L = step(carry_ref[...], c, lane, D, p1, p2)
+        carry_ref[...] = q
+        out_ref[j] = L
+
+
+def sweep_micro(C: jnp.ndarray, mode: str, p1: int = 10, p2: int = 120,
+                interpret: bool = False) -> jnp.ndarray:
+    """Run the axial sweep recurrence over C (T, N, D).
+
+    mode='v32': C int32 values; mode='swar': C packed 2x16 int32 (caller
+    packs two rows per lane: C_packed = C_even * 65536 + C_odd with half
+    the N). Returns the per-step L volume (int32)."""
+    T, N, D = C.shape
+    assert D == 128 and N % 8 == 0
+    kernel = functools.partial(_kernel, mode=mode, p1=p1, p2=p2, R=1)
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[pl.BlockSpec((1, N, D), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, N, D), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, N, D), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((N, D), jnp.int32)],
+        interpret=interpret,
+    )(C.astype(jnp.int32))
+
+
+def _elem_kernel(x_ref, out_ref, *, chain, dtype):
+    v = x_ref[...]
+    one = jnp.ones((), dtype)
+    for i in range(chain):
+        v = jnp.minimum(v + one, x_ref[...] + jnp.array(i, dtype))
+    out_ref[...] = v
+
+
+def elem_chain_micro(x: jnp.ndarray, chain: int = 32,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Pure elementwise add/min chain on x's dtype (int16 or int32): the
+    raw dtype-throughput probe (no rolls, no reduces)."""
+    N, D = x.shape
+    kernel = functools.partial(_elem_kernel, chain=chain, dtype=x.dtype)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec((N, D), lambda: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((N, D), lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, D), x.dtype),
+        interpret=interpret,
+    )(x)
+
+
+def pack_rows(C: jnp.ndarray) -> jnp.ndarray:
+    """(T, N, D) small ints -> (T, N//2, D) packed: even rows in the high
+    16-bit field, odd rows in the low field."""
+    T, N, D = C.shape
+    assert N % 2 == 0
+    return (C[:, 0::2].astype(jnp.int32) * 65536
+            + C[:, 1::2].astype(jnp.int32))
+
+
+def unpack_rows(P: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack_rows for non-negative <2^15 fields."""
+    T, Nh, D = P.shape
+    hi = P >> 16
+    lo = P & 0xFFFF
+    out = jnp.zeros((T, Nh * 2, D), jnp.int32)
+    return out.at[:, 0::2].set(hi).at[:, 1::2].set(lo)
