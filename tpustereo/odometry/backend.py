@@ -21,7 +21,6 @@ import jax.numpy as jnp
 
 from tpustereo.config import Config
 from tpustereo.data.datasets import KittiCalib
-from tpustereo.odometry.features import match_descriptors
 from tpustereo.odometry.pnp import gauss_newton_pose
 from tpustereo.odometry.pose_graph import PoseGraph
 from tpustereo.odometry.se3 import inv_se3
@@ -184,10 +183,10 @@ class StereoOdometry:
         """Loop-closure detection + geometric verification (SURVEY.md §4.4).
 
         Appearance candidate: every stored keyframe at least lc_min_gap
-        indices back is NCC-matched against the new keyframe (one MXU
-        matmul each, the same `match_descriptors` as tracking); the best
-        candidate with >= lc_min_matches mutual matches goes to geometric
-        verification — Huber-GN PnP of the old keyframe's 3D points onto
+        indices back is NCC-matched against the new keyframe — ALL
+        candidates in one batched device program (a stack of MXU matmuls,
+        `fused.batched_candidate_match`); the best candidate with >=
+        lc_min_matches mutual matches goes to geometric verification — Huber-GN PnP of the old keyframe's 3D points onto
         the new keyframe's pixels. A closure is accepted only if the mean
         weighted reprojection residual passes lc_max_residual; the edge is
         added and the whole graph re-optimised immediately, which is what
@@ -200,20 +199,32 @@ class StereoOdometry:
             step = len(elig) / self.ocfg.lc_max_candidates
             elig = [elig[int(i * step)]
                     for i in range(self.ocfg.lc_max_candidates)]
-        best = None
-        for old in elig:
-            idx_b, good = match_descriptors(
-                jnp.asarray(old.desc), jnp.asarray(new_kf.desc),
-                jnp.asarray(old.valid), jnp.asarray(new_kf.valid),
-                min_similarity=self.ocfg.min_similarity)
-            idx_b, good = np.asarray(idx_b), np.asarray(good)
-            w = (good & old.valid).astype(np.float32)
-            n = int(w.sum())
-            if n >= self.ocfg.lc_min_matches and (best is None or n > best[0]):
-                best = (n, old, idx_b, w)
-        if best is None:
+        if not elig:
             return False
-        n, old, idx_b, w = best
+        # ONE batched program for every candidate (the old per-candidate
+        # loop paid one dispatch each — up to lc_max_candidates tunnel
+        # RTTs per keyframe); E padded to a power of two so at most
+        # log2(cap) program shapes ever compile
+        from tpustereo.odometry.fused import batched_candidate_match
+        E = len(elig)
+        Ep = 1 << max(0, (E - 1).bit_length())
+        K, P = elig[0].desc.shape
+        descs = np.zeros((Ep, K, P), np.float32)
+        valids = np.zeros((Ep, K), bool)
+        for i, old in enumerate(elig):
+            descs[i], valids[i] = old.desc, old.valid
+        idx_bs, goods, counts = batched_candidate_match(
+            jnp.asarray(descs), jnp.asarray(valids),
+            jnp.asarray(new_kf.desc), jnp.asarray(new_kf.valid),
+            self.ocfg.min_similarity)
+        counts = np.asarray(counts)
+        e = int(np.argmax(counts))  # first max == the old loop's tie rule
+        n = int(counts[e])
+        if n < self.ocfg.lc_min_matches:
+            return False
+        old = elig[e]
+        idx_b, good = jax.device_get((idx_bs[e], goods[e]))
+        w = (good & old.valid).astype(np.float32)
         u = new_kf.pts[idx_b][:, ::-1].astype(np.float32)
         T, res = gauss_newton_pose(jnp.asarray(old.X), jnp.asarray(u),
                                    jnp.asarray(w), self._intr,

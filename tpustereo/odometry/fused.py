@@ -99,3 +99,20 @@ def fused_track_from_disp(left, disp, kf_desc, kf_valid, kf_X, intr,
     dispatches per tracked frame."""
     return _track_core(left, disp, kf_desc, kf_valid, kf_X, intr, baseline,
                        cfg, ocfg)
+
+
+@jax.jit
+def batched_candidate_match(descs, valids, new_desc, new_valid,
+                            min_similarity):
+    """Loop-closure candidate matching for ALL stored keyframes in ONE
+    program: vmapped mutual-NN NCC (a stack of MXU matmuls) + per-candidate
+    weighted match counts. descs (E, K, P), valids (E, K) — padded rows are
+    all-invalid and count 0. Returns (idx_bs (E, K), goods (E, K),
+    counts (E,)). Replaces the per-candidate dispatch loop (up to
+    lc_max_candidates tunnel RTTs per keyframe)."""
+    idx_bs, goods = jax.vmap(
+        lambda da, va: match_descriptors(da, new_desc, va, new_valid,
+                                         min_similarity=min_similarity)
+    )(descs, valids)
+    counts = (goods & valids).sum(axis=1).astype(jnp.int32)
+    return idx_bs, goods, counts
