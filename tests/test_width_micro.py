@@ -28,6 +28,15 @@ def test_swar_sweep_matches_v32(rng):
     assert (L32 == Ls).all()
 
 
+def test_roll_chain_is_pure_permutation(rng):
+    from tpustereo.kernels.width_micro import roll_chain_micro
+    x = jnp.asarray(rng.integers(0, 1000, (8, 128)).astype(np.int32))
+    out = np.asarray(roll_chain_micro(x, chain=4, interpret=True))
+    # chain of rolls by 1,2,1,2 = net roll by 6
+    want = np.roll(np.asarray(x), 6, axis=1)
+    assert (out == want).all()
+
+
 def test_elem_chain_dtype_parity(rng):
     x16 = jnp.asarray(rng.integers(0, 100, (64, 128)).astype(np.int16))
     o16 = np.asarray(elem_chain_micro(x16, interpret=True))

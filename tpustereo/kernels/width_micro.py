@@ -142,6 +142,32 @@ def elem_chain_micro(x: jnp.ndarray, chain: int = 32,
     )(x)
 
 
+def _roll_kernel(x_ref, out_ref, *, chain):
+    v = x_ref[...]
+    for i in range(chain):
+        v = pltpu.roll(v, 1 + (i & 1), axis=1)  # data-dependent chain
+    out_ref[...] = v
+
+
+def roll_chain_micro(x: jnp.ndarray, chain: int = 32,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Dependent chain of lane rolls — measures the cross-lane op
+    throughput that the roofline's roll-penalized ceiling assumes. Compare
+    against `elem_chain_micro` (same shape, same chain length) to get the
+    measured roll:ALU cost ratio."""
+    N, D = x.shape
+    kernel = functools.partial(_roll_kernel, chain=chain)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec((N, D), lambda: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((N, D), lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, D), x.dtype),
+        interpret=interpret,
+    )(x)
+
+
 def pack_rows(C: jnp.ndarray) -> jnp.ndarray:
     """(T, N, D) small ints -> (T, N//2, D) packed: even rows in the high
     16-bit field, odd rows in the low field."""
