@@ -177,3 +177,36 @@ def test_loop_closure_detection_on_out_and_back():
     err_open = float(np.linalg.norm(
         odo_open.trajectory()[-1, :3, 3] - gt[-1, :3, 3]))
     assert err_end < max(0.05, err_open * 1.05), (err_end, err_open)
+
+
+def test_fused_track_frames_matches_per_frame_steps():
+    """The F-stacked tracking program must equal F single fused steps
+    against the same keyframe (same disparities via the bit-exact
+    sgbm_frames path; features/GN are frame-independent)."""
+    from tpustereo.config import Config
+    from tpustereo.data.synthetic import synthetic_sequence
+    from tpustereo.odometry import OdometryConfig
+    from tpustereo.odometry.fused import fused_track_frames, fused_track_step
+    cfg = Config(num_disparities=16, speckle_window_size=20)
+    ocfg = OdometryConfig(max_corners=128)
+    calib, frames, _ = synthetic_sequence(
+        n_frames=3, shape=(48, 64), depth=8.0, fx=200.0, baseline=0.5,
+        step_x=0.08, slant=0.35, seed=3)
+    intr = jnp.asarray([calib.fx, calib.fy, calib.cx, calib.cy], jnp.float32)
+    b = jnp.float32(calib.baseline)
+    zeros = (jnp.zeros((128, 64), jnp.float32), jnp.zeros((128,), bool),
+             jnp.zeros((128, 3), jnp.float32))
+    kf0 = fused_track_step(jnp.asarray(frames[0][0]),
+                           jnp.asarray(frames[0][1]), *zeros, intr, b,
+                           cfg, ocfg)
+    kf = (kf0.desc, kf0.valid, kf0.X)
+    Ls = jnp.stack([jnp.asarray(L) for L, _ in frames[1:]])
+    Rs = jnp.stack([jnp.asarray(R) for _, R in frames[1:]])
+    chunk = fused_track_frames(Ls, Rs, *kf, intr, b, cfg, ocfg)
+    for f in range(2):
+        single = fused_track_step(Ls[f], Rs[f], *kf, intr, b, cfg, ocfg)
+        np.testing.assert_array_equal(np.asarray(chunk.disp[f]),
+                                      np.asarray(single.disp))
+        np.testing.assert_allclose(np.asarray(chunk.T[f]),
+                                   np.asarray(single.T), atol=1e-5)
+        assert int(chunk.n_matches[f]) == int(single.n_matches)

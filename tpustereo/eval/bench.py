@@ -169,7 +169,7 @@ def production_stage_times(cfg: Config, lefts, rights, iters: int = 10) -> Dict[
 
 def run_odometry_benchmark(cfg: Config, shape: Tuple[int, int] = (375, 1242),
                            frames: int = 4, iters: int = 10,
-                           ocfg=None) -> dict:
+                           ocfg=None, stacked: bool = False) -> dict:
     """Throughput of the fused odometry tracking step (SURVEY.md §4.4;
     VERDICT r2 #1 'a measured frames/s for the odometry loop').
 
@@ -204,22 +204,42 @@ def run_odometry_benchmark(cfg: Config, shape: Tuple[int, int] = (375, 1242),
     Ls = jnp.stack([jnp.asarray(L) for L, _ in seq[1:]])
     Rs = jnp.stack([jnp.asarray(R) for _, R in seq[1:]])
 
-    def track_many(ls, rs, kf_desc, kf_valid, kf_X):
-        def body(c, lr):
-            o = fused_track_step.__wrapped__(lr[0], lr[1], kf_desc, kf_valid,
-                                             kf_X, intr, baseline, cfg, ocfg)
-            return c, o.T
+    # the checksum folds EVERY TrackOut field into the returned scalar: a
+    # tracked frame's pose does not depend on its own disparity (GN uses
+    # the KEYFRAME's 3D points), so returning poses alone lets XLA
+    # dead-code-eliminate the whole SGM pipeline from the timed program
+    # (caught live: 2.0 ms/frame for the 'full' odometry step)
+    def _chk(o):
+        return (o.disp.sum() + o.X.sum() + o.T.sum() + o.residual
+                + o.valid.sum() + o.n_matches + o.pts.sum()
+                + o.desc.sum()).astype(jnp.float32)
 
-        _, Ts = jax.lax.scan(body, jnp.int32(0), (ls, rs))
-        return Ts
+    if stacked:
+        from tpustereo.odometry.fused import fused_track_frames
+
+        def track_many(ls, rs, kf_desc, kf_valid, kf_X):
+            return _chk(fused_track_frames.__wrapped__(
+                ls, rs, kf_desc, kf_valid, kf_X, intr, baseline, cfg, ocfg))
+    else:
+        def track_many(ls, rs, kf_desc, kf_valid, kf_X):
+            def body(c, lr):
+                o = fused_track_step.__wrapped__(
+                    lr[0], lr[1], kf_desc, kf_valid, kf_X, intr, baseline,
+                    cfg, ocfg)
+                return c + _chk(o), o.n_matches
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), (ls, rs))
+            return c
 
     sec = _timed_device_loop(track_many, Ls, Rs, *kf, iters=iters) / frames
     return {
-        "metric": f"odometry fused-step fps/chip ({H}x{W}, "
-                  f"D={cfg.num_disparities}, {cfg.paths}-path)",
+        "metric": (f"odometry fused-{'chunk' if stacked else 'step'} "
+                   f"fps/chip ({H}x{W}, D={cfg.num_disparities}, "
+                   f"{cfg.paths}-path)"),
         "value": round(1.0 / sec, 3),
         "unit": "fps/chip",
         "ms_per_frame": round(sec * 1e3, 3),
+        "stacked": stacked,
         "frames_per_step": frames,
         "max_corners": K,
         "device_kind": jax.devices()[0].device_kind,

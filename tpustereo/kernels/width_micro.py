@@ -94,15 +94,64 @@ def _kernel(c_ref, out_ref, carry_ref, *, mode, p1, p2, R):
         out_ref[j] = L
 
 
+def _kernel_i8(c_ref, out_ref, carry_ref, *, mode, p1, p2, R):
+    """Production-I/O variants: int8 cost block in, int16 S block out —
+    isolates the COMPUTE difference from the r29 micro's DMA asymmetry
+    (its int32 input made the unpacked variant move 2x the bytes).
+    swar_i8 packs the block's row HALVES in-kernel ((i, i+N/2) pairing:
+    the unpack is two aligned half-slab stores, and a sublane roll of the
+    packed slab is a correct roll of both fields away from the seam)."""
+    t = pl.program_id(0)
+    N = c_ref.shape[1]
+    D = c_ref.shape[2]
+
+    @pl.when(t == 0)
+    def _():
+        carry_ref[...] = jnp.zeros(carry_ref.shape, jnp.int32)
+
+    for j in range(R):
+        c = c_ref[j].astype(jnp.int32)
+        if mode == "swar_i8":
+            H = N // 2
+            lane = jax.lax.broadcasted_iota(jnp.int32, (H, D), 1)
+            cp = c[:H] * 65536 + c[H:]
+            q, L = _sweep_step_swar(carry_ref[...], cp, lane, D, p1, p2)
+            carry_ref[...] = q
+            out_ref[j, :H] = (L >> 16).astype(jnp.int16)
+            out_ref[j, H:] = (L & 0xFFFF).astype(jnp.int16)
+        else:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
+            q, L = _sweep_step32(carry_ref[...], c, lane, D, p1, p2)
+            carry_ref[...] = q
+            out_ref[j] = L.astype(jnp.int16)
+
+
 def sweep_micro(C: jnp.ndarray, mode: str, p1: int = 10, p2: int = 120,
                 interpret: bool = False) -> jnp.ndarray:
     """Run the axial sweep recurrence over C (T, N, D).
 
     mode='v32': C int32 values; mode='swar': C packed 2x16 int32 (caller
     packs two rows per lane: C_packed = C_even * 65536 + C_odd with half
-    the N). Returns the per-step L volume (int32)."""
+    the N). Returns the per-step L volume (int32).
+    mode='v32_i8'/'swar_i8': C int8 (production cost dtype), S int16 out;
+    swar packs/unpacks in-kernel (halves pairing), so both variants move
+    identical HBM bytes and the timing difference is pure compute."""
     T, N, D = C.shape
     assert D == 128 and N % 8 == 0
+    if mode in ("v32_i8", "swar_i8"):
+        kernel = functools.partial(_kernel_i8, mode=mode, p1=p1, p2=p2, R=1)
+        Nc = N // 2 if mode == "swar_i8" else N
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[pl.BlockSpec((1, N, D), lambda t: (t, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, N, D), lambda t: (t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((T, N, D), jnp.int16),
+            scratch_shapes=[pltpu.VMEM((Nc, D), jnp.int32)],
+            interpret=interpret,
+        )(C.astype(jnp.int8))
     kernel = functools.partial(_kernel, mode=mode, p1=p1, p2=p2, R=1)
     return pl.pallas_call(
         kernel,

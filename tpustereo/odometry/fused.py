@@ -101,6 +101,26 @@ def fused_track_from_disp(left, disp, kf_desc, kf_valid, kf_X, intr,
                        cfg, ocfg)
 
 
+@partial(jax.jit, static_argnames=("cfg", "ocfg"))
+def fused_track_frames(lefts, rights, kf_desc, kf_valid, kf_X, intr,
+                       baseline, cfg: Config, ocfg) -> TrackOut:
+    """High-rate tracking: F frames through ONE program, all tracked
+    against the SAME keyframe. Disparities ride the frame-stacked pipeline
+    (`sgbm_frames` — the F-fold sublane-fattening win of the matcher
+    benchmarks); features/matching/GN are frame-independent given a fixed
+    keyframe, so they vmap. Semantics caveat vs the sequential `step`
+    loop: keyframe decisions apply only at chunk boundaries, so a keyframe
+    born mid-chunk does not retarget the chunk's remaining frames — the
+    production pattern for sequences where keyframes change every >> F
+    frames. Returns TrackOut with a leading (F,) axis."""
+    from tpustereo.pipeline.sgbm import sgbm_frames
+    disp = sgbm_frames.__wrapped__(lefts, rights, cfg)
+    return jax.vmap(
+        lambda l, d: _track_core(l, d, kf_desc, kf_valid, kf_X, intr,
+                                 baseline, cfg, ocfg)
+    )(lefts, disp)
+
+
 @jax.jit
 def batched_candidate_match(descs, valids, new_desc, new_valid,
                             min_similarity):
