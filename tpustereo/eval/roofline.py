@@ -17,8 +17,11 @@ VPU ALUs like pure elementwise ops:
 
 * `uniform`  — every element-op retires at 4 lanes-slots/cycle (8x128x4
   ALUs): the optimistic VPU ceiling.
-* `roll_penalized` — cross-lane ops retire at 1 vreg/cycle (one lane-
-  crossing unit), elementwise at 4: the pessimistic ceiling.
+* `roll_penalized` — cross-lane ops cost ROLL_PENALTY x an elementwise
+  op. The penalty was MEASURED on the dev chip (r29b issue probe,
+  scripts/tpu_r29b_results.json): a dependent roll chain costs 2.75x a
+  dependent ALU chain at 156-vreg width (3.11x at 1 vreg), so the
+  default is the measured 2.75.
 
 The measured point landing between the two ceilings ⇒ VPU-issue-bound;
 far below both ⇒ something else (DMA, dependencies, overhead) binds.
@@ -50,6 +53,11 @@ CHIPS: Dict[str, Dict[str, float]] = {
                 clock_hz=1.75e9,
                 hbm_bytes_per_s=2765e9),
 }
+
+
+# Measured cross-lane (roll) vs elementwise op cost on the dev chip
+# (r29b: 2.75x wide / 3.11x narrow) — the penalized ceiling's factor.
+ROLL_PENALTY = 2.75
 
 
 def chip_spec(device_kind: str) -> Tuple[str, Dict[str, float]]:
@@ -170,14 +178,15 @@ def roofline(cfg: Config, shape: Tuple[int, int], sec_per_frame: float,
         ops = m["elem_ops_total"]
         rolls = m["cross_lane_ops_total"]
         achieved = ops / sec
-        # roll-penalized ceiling: cross-lane ops retire 1 vreg/cycle (x4
-        # cost in ALU-slot units), elementwise at 4 vregs/cycle
-        eq_ops = (ops - rolls) + 4 * rolls
+        # roll-penalized ceiling: measured penalty (r29b probe; see module
+        # docstring) in ALU-slot units, elementwise at 4 vregs/cycle
+        eq_ops = (ops - rolls) + ROLL_PENALTY * rolls
         cycles_ideal = eq_ops / vreg / 4 / spec["clock_hz"]
         return {
             "achieved_elem_ops_per_s": round(achieved / 1e9, 1),  # G ops/s
             "vpu_util_uniform": round(achieved / peak_ops, 4),
             "vpu_util_roll_penalized": round(cycles_ideal / sec, 4),
+            "roll_penalty_assumed": ROLL_PENALTY,
         }
 
     rec = {
