@@ -63,6 +63,36 @@ EMIT_TRANSPOSED = False
 # temps, so less scoped-VMEM risk); kept exact + tested for re-measurement.
 BATCH_DIRS = False
 
+# SWAR 2x16-in-32 sweeps: pack the slab's row HALVES two-per-lane
+# ((i, i+N/2) pairing) so every op runs on half the vregs; mins become
+# ~13-bit-op exact SWAR mins (no packed-SIMD min exists in Mosaic — int16
+# vector min fails to legalize, r29), rolls along lanes move both fields
+# together (the 32-bit roll rule holds), and diagonal sublane rolls need
+# one seam fixup + per-field OOB masks. Measured on the production-I/O
+# micro (int8 in, int16 out, identical HBM bytes): 0.933x the int32 step
+# (9.71 vs 10.41 us/step, r29c) — a ~7% compute win on the sweep inner
+# loop. Gated to non-adaptive, non-ring, non-emit sweeps with N % 16 == 0;
+# field safety: values bounded by c_max + p2 < 4096 << 2^15 (the pipeline
+# dispatch gate) and the P2 clip keeps every intermediate under
+# _BIG16 + p2. Toggle + jax.clear_caches() for on-chip A/B.
+SWEEP_SWAR = True
+_BIG16 = 0x4000
+
+
+def _swar_min(a, b):
+    """Per-16-bit-field min of packed int32 lanes; all fields in
+    [0, 0x7FFF). t's field sign bit = a_f >= b_f because 0x8000 + a_f -
+    b_f cannot borrow across fields (kernels/width_micro.py, proven exact
+    on chip r29/r29c)."""
+    t = (a | (-0x7FFF8000)) - b          # 0x80008000 as int32
+    m_hi = t & (-0x80000000)
+    e_hi = m_hi >> 15                    # arithmetic: 0xFFFF0000 or 0
+    m_lo = t & 0x8000
+    e_lo = (m_lo - (m_lo >> 15)) | m_lo  # 0xFFFF or 0
+    e = e_hi | e_lo
+    return (b & e) | (a & ~e)
+
+
 # MXU-assisted WTA refinement: the uniqueness and subpixel stages are
 # one-hot extractions / violation counts over the lane axis — lane SUMS,
 # not mins — so they can ride an (N, D) @ (D, 1) matmul with a ones
@@ -131,7 +161,7 @@ def _min_lanes_full(x: jnp.ndarray) -> jnp.ndarray:
 
 def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
                   n_s, has_p2m, has_init, has_fin, g_frame,
-                  emit_t=False, batch_k=False):
+                  emit_t=False, batch_k=False, swar=False):
     """One grid step = R scanlines, walked serially in-register (reversed
     for reverse sweeps). rest = (*s_refs, [p2_ref], [init_ref], out_ref,
     [fin_ref], carry_ref) depending on flags; n_s S volumes (0-2) are
@@ -161,7 +191,8 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
     carry_ref = rest[idx]
 
     t = pl.program_id(0)
-    N, D = carry_ref.shape[1], carry_ref.shape[2]
+    # slab dims from the COST block: the swar carry is (K, N//2, D)
+    N, D = c_ref.shape[1], c_ref.shape[2]
 
     # carries hold the renormalised q = L - min_d L (the bracket of the
     # recurrence becomes min(q, q±1+P1, P2), so the P2 clip is a scalar and
@@ -190,8 +221,63 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
     order = range(R - 1, -1, -1) if reverse else range(R)
     for j in order:
         c = c_ref[j].astype(jnp.int32)
-        if d_real < D:  # padded disparity lanes act as +inf hypotheses
+        if not swar and d_real < D:  # padded lanes act as +inf hypotheses
             c = jnp.where(lane_idx >= d_real, _BIG, c)
+
+        if swar:
+            # 2x16 halves-packed step (see SWEEP_SWAR): rows (i, i+N/2)
+            # share a lane; every min is a SWAR min; diagonal sublane
+            # rolls get a one-sublane seam fixup + per-field OOB masks
+            Hh = N // 2
+            laneH = jax.lax.broadcasted_iota(jnp.int32, (Hh, D), 1)
+            rowH = jax.lax.broadcasted_iota(jnp.int32, (Hh, D), 0)
+            big2 = (_BIG16 << 16) | _BIG16
+            cpk = (c[:Hh] << 16) | c[Hh:]
+            if d_real < D:
+                cpk = jnp.where(laneH >= d_real, big2, cpk)
+            total = None
+            for k, dx in enumerate(dxs):
+                q = carry_ref[k]
+                if dx != 0:
+                    q = _roll(q, dx, axis=0)
+                    if dx > 0:
+                        # wrapped sublane 0: lo wants row Hh-1 = its hi
+                        # (hi is OOB there and zeroed below)
+                        fix = (q >> 16) | (q & ~0xFFFF)
+                        q = jnp.where(rowH == 0, fix, q)
+                    else:
+                        # wrapped sublane Hh-1: hi wants row Hh = its lo
+                        fix = ((q & 0xFFFF) << 16) | (q & 0xFFFF)
+                        q = jnp.where(rowH == Hh - 1, fix, q)
+                    # per-field fresh-start masks (the v32 branch's
+                    # `invalid` test, evaluated at each field's true row)
+                    hi_inv = (rowH < dx) | (rowH >= n_real + dx)
+                    lo_inv = ((rowH + Hh) < dx) | ((rowH + Hh) >= n_real + dx)
+                    q = jnp.where(hi_inv, q & 0xFFFF, q)
+                    q = jnp.where(lo_inv, q & ~0xFFFF, q)
+                up = _roll(q, -1, axis=1)
+                up = jnp.where(laneH == D - 1, big2, up)
+                dn = _roll(q, 1, axis=1)
+                dn = jnp.where(laneH == 0, big2, dn)
+                cand = _swar_min(
+                    _swar_min(q, _swar_min(up, dn) + ((p1 << 16) | p1)),
+                    jnp.full((Hh, D), (p2_const << 16) | p2_const,
+                             jnp.int32))
+                L = cpk + cand
+                M = L
+                for b in range(7):
+                    M = _swar_min(M, _roll(M, 1 << b, axis=1))
+                carry_ref[k] = L - M
+                total = L if total is None else total + L
+            # fields stay < 2^15 (P2-clipped, paths*(c_max+p2) gated by
+            # the pipeline), so the halves unpack exactly
+            out = jnp.concatenate([(total >> 16).astype(jnp.int16),
+                                   (total & 0xFFFF).astype(jnp.int16)],
+                                  axis=0)
+            for s_ref in s_refs:
+                out = out + s_ref[j]
+            out_ref[j] = out
+            continue
 
         if batch_k:
             # all K directions as one (K, N, D) slab per row: one renorm
@@ -374,13 +460,20 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
         in_specs.append(pl.BlockSpec((K, N, D), whole, memory_space=pltpu.VMEM))
         operands.append(init_carry.astype(jnp.int32))
 
+    # SWAR gate (see SWEEP_SWAR): no adaptive-P2 maps, no ring carry
+    # hand-off, no transposed emission, no direction batching, halves
+    # sublane-aligned (N/2 % 8), and field headroom for P2-clipped values
+    swar = (SWEEP_SWAR and p2_maps is None and init_carry is None
+            and not return_final_carry and not emit_transposed
+            and not (BATCH_DIRS and K > 1)
+            and N % 16 == 0 and p2 + 256 < _BIG16)
     kernel = functools.partial(
         _sweep_kernel, dxs=tuple(dxs), p1=p1, p2_const=p2, n_real=n_real,
         d_real=d_real, R=R, reverse=reverse,
         n_s=len(s_list), has_p2m=p2_maps is not None,
         has_init=init_carry is not None, has_fin=return_final_carry,
         g_frame=G // frames, emit_t=emit_transposed,
-        batch_k=BATCH_DIRS and K > 1 and p2_maps is None)
+        batch_k=BATCH_DIRS and K > 1 and p2_maps is None, swar=swar)
 
     if emit_transposed:
         # rank-4 (N, G, R, D): R a whole array dim -> every block
@@ -404,7 +497,8 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((K, N, D), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((K, N // 2 if swar else N, D),
+                                   jnp.int32)],
         input_output_aliases=aliases,
         interpret=interpret,
     )(*operands)
