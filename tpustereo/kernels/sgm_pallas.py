@@ -240,21 +240,26 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
                 q = carry_ref[k]
                 if dx != 0:
                     q = _roll(q, dx, axis=0)
+                    # NO negative-constant AND masks anywhere below: Mosaic
+                    # miscompiled `q & ~0xFFFF` at production sublane counts
+                    # (r30f bisect: diag+n_real wrong from sublane 608 on,
+                    # exact in interpret and at small N) — hi-field writes
+                    # are expressed with shifts/subtracts instead.
                     if dx > 0:
                         # wrapped sublane 0: lo wants row Hh-1 = its hi
                         # (hi is OOB there and zeroed below)
-                        fix = (q >> 16) | (q & ~0xFFFF)
-                        q = jnp.where(rowH == 0, fix, q)
+                        t16 = q >> 16
                     else:
                         # wrapped sublane Hh-1: hi wants row Hh = its lo
-                        fix = ((q & 0xFFFF) << 16) | (q & 0xFFFF)
-                        q = jnp.where(rowH == Hh - 1, fix, q)
+                        t16 = q & 0xFFFF
+                    fix = (t16 << 16) | t16
+                    q = jnp.where(rowH == (0 if dx > 0 else Hh - 1), fix, q)
                     # per-field fresh-start masks (the v32 branch's
                     # `invalid` test, evaluated at each field's true row)
                     hi_inv = (rowH < dx) | (rowH >= n_real + dx)
                     lo_inv = ((rowH + Hh) < dx) | ((rowH + Hh) >= n_real + dx)
                     q = jnp.where(hi_inv, q & 0xFFFF, q)
-                    q = jnp.where(lo_inv, q & ~0xFFFF, q)
+                    q = jnp.where(lo_inv, q - (q & 0xFFFF), q)
                 up = _roll(q, -1, axis=1)
                 up = jnp.where(laneH == D - 1, big2, up)
                 dn = _roll(q, 1, axis=1)
