@@ -180,15 +180,20 @@ def run_odometry_benchmark(cfg: Config, shape: Tuple[int, int] = (375, 1242),
     dispatch RTT must not pollute the number). Host-side keyframe/graph
     bookkeeping (microseconds of numpy) and the per-frame decision
     transfer are excluded: on the tunnel that transfer costs a 30-45 ms
-    RTT that co-located hardware would not pay."""
+    RTT that co-located hardware would not pay.
+
+    Single-chip: times `fused_track_step` (the untiled matcher), so
+    cfg.strips is normalized to 1 and the record's config describes what
+    was actually measured — the strip-tiled config-5 composition has its
+    own harness (`bench --multihost --tiled`)."""
     import jax
     import jax.numpy as jnp
-    from functools import partial
     from tpustereo.data.synthetic import synthetic_sequence
     from tpustereo.odometry import OdometryConfig
     from tpustereo.odometry.fused import fused_track_step
 
     H, W = shape
+    cfg = cfg.replace(strips=1)
     ocfg = ocfg or OdometryConfig()
     calib, seq, _ = synthetic_sequence(
         n_frames=frames + 1, shape=shape, depth=12.0, fx=718.0,
@@ -317,14 +322,17 @@ def run_benchmark(cfg: Config, shape: Tuple[int, int] = (375, 1242),
         else:
             record["stage_ms"] = stage_times(L, R, cfg)
     # analytic ops/bytes roofline: names the bounding resource for this
-    # measurement (SURVEY.md §6; free — no extra device work)
-    from tpustereo.eval.roofline import roofline
-    core_ms = (record.get("stage_ms") or {}).get("core(cost+sweeps+wta)")
-    rl = roofline(cfg, shape, sec / batch,
-                  device_kind=record["device_kind"],
-                  core_sec_per_frame=(core_ms / 1e3 if core_ms else None))
-    if rl is not None:
-        record["roofline"] = rl
+    # measurement (SURVEY.md §6; free — no extra device work). Single-chip
+    # runs only: the model's per-frame ops/bytes against ONE chip's peaks
+    # would overstate a tiled run's utilization by ~the strip count.
+    if not tiled:
+        from tpustereo.eval.roofline import roofline
+        core_ms = (record.get("stage_ms") or {}).get("core(cost+sweeps+wta)")
+        rl = roofline(cfg, shape, sec / batch,
+                      device_kind=record["device_kind"],
+                      core_sec_per_frame=(core_ms / 1e3 if core_ms else None))
+        if rl is not None:
+            record["roofline"] = rl
     if profile_dir:
         from tpustereo.eval.roofline import device_busy_fraction
         busy = device_busy_fraction(profile_dir)

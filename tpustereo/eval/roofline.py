@@ -203,7 +203,9 @@ def roofline(cfg: Config, shape: Tuple[int, int], sec_per_frame: float,
     }
     if core_sec_per_frame and core_sec_per_frame > 0:
         rec["core"] = util(core_sec_per_frame)
-    u = (rec.get("core") or rec["frame"])
+    # classify over the SAME window (whole frame) for both resources —
+    # mixing core-window VPU with frame-window HBM would bias toward VPU
+    u = rec["frame"]
     rec["bound"] = ("VPU" if u["vpu_util_uniform"] > 3 * rec["hbm_util"]
                     else "HBM" if rec["hbm_util"] > 3 * u["vpu_util_uniform"]
                     else "mixed")

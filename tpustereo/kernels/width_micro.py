@@ -29,27 +29,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BIG16 = 0x4000          # +inf for 16-bit fields (headroom for +P1)
-_HI = -0x7FFF8000        # 0x80008000 as an int32 literal
+# The SWAR min and the 16-bit +inf live in sgm_pallas (the production
+# kernel); importing them keeps this micro the on-chip exactness evidence
+# for exactly the code the sweeps run — a second copy could silently
+# diverge (e.g. miss a future Mosaic-workaround fix like r30's).
+from tpustereo.kernels.sgm_pallas import _BIG16, _swar_min  # noqa: E402
 
 
 def _min_lanes_full(x):
     for b in range(7):
         x = jnp.minimum(x, pltpu.roll(x, 1 << b, axis=x.ndim - 1))
     return x
-
-
-def _swar_min(a, b):
-    """Per-16-bit-field minimum of packed int32 lanes; both fields of both
-    operands must be in [0, 0x7FFF). ~13 bit-ops (derivation: t's field
-    sign bit = a_f >= b_f because (0x8000 + a_f - b_f) cannot borrow)."""
-    t = (a | _HI) - b
-    m_hi = t & (-0x80000000)
-    e_hi = m_hi >> 15                 # arithmetic shift: 0xFFFF0000 or 0
-    m_lo = t & 0x8000
-    e_lo = (m_lo - (m_lo >> 15)) | m_lo   # 0xFFFF or 0
-    e = e_hi | e_lo
-    return (b & e) | (a & ~e)
 
 
 def _sweep_step32(q, c, lane, D, p1, p2):
@@ -114,7 +104,10 @@ def _kernel_i8(c_ref, out_ref, carry_ref, *, mode, p1, p2, R):
         if mode == "swar_i8":
             H = N // 2
             lane = jax.lax.broadcasted_iota(jnp.int32, (H, D), 1)
-            cp = c[:H] * 65536 + c[H:]
+            # shifts, not *65536: in-kernel int32 vector multiply is not
+            # bit-exact (CLAUDE.md), and the production kernel packs with
+            # shifts — the probe must measure the same packing
+            cp = (c[:H] << 16) | c[H:]
             q, L = _sweep_step_swar(carry_ref[...], cp, lane, D, p1, p2)
             carry_ref[...] = q
             out_ref[j, :H] = (L >> 16).astype(jnp.int16)
@@ -138,6 +131,11 @@ def sweep_micro(C: jnp.ndarray, mode: str, p1: int = 10, p2: int = 120,
     identical HBM bytes and the timing difference is pure compute."""
     T, N, D = C.shape
     assert D == 128 and N % 8 == 0
+    if mode == "swar_i8":
+        # in-kernel halves slices/stores at sublane offset N//2 must be
+        # 8-aligned, or Mosaic reads wrong data silently (CLAUDE.md);
+        # mode='swar' takes pre-packed input and never slices halves
+        assert N % 16 == 0, N
     if mode in ("v32_i8", "swar_i8"):
         kernel = functools.partial(_kernel_i8, mode=mode, p1=p1, p2=p2, R=1)
         Nc = N // 2 if mode == "swar_i8" else N
