@@ -442,3 +442,25 @@ def test_sweep_emit_transposed_matches_transpose(small_pair):
     fwd2 = sgm_sweep(Ct, (St_a, St_b), (0,), False, p1=cfg.p1, p2=cfg.p2,
                      n_real=H, d_real=D, interpret=True)
     np.testing.assert_array_equal(np.asarray(fwd_ref), np.asarray(fwd2))
+
+
+def test_sweep_v32_branch_parity(rng):
+    """SWEEP_SWAR=True is the default, so the v32 branch would otherwise
+    lose interpret-mode coverage; pin both branches equal on a mixed
+    diagonal sweep with scan-axis padding (n_real < N)."""
+    import jax
+    import tpustereo.kernels.sgm_pallas as sp
+    C = jnp.asarray(rng.integers(0, 25, (16, 64, 128)).astype(np.int8))
+    outs = {}
+    for flag in (True, False):
+        old = sp.SWEEP_SWAR
+        sp.SWEEP_SWAR = flag
+        jax.clear_caches()
+        try:
+            outs[flag] = np.asarray(sp.sgm_sweep(
+                C, None, (0, 1, -1), True, p1=10, p2=120, n_real=58,
+                d_real=128, interpret=True))
+        finally:
+            sp.SWEEP_SWAR = old
+            jax.clear_caches()
+    assert (outs[True] == outs[False]).all()

@@ -62,9 +62,11 @@ def detect_corners(img: jnp.ndarray, max_corners: int = 256,
     xx = jnp.arange(W)[None, :]
     inb = (yy >= border) & (yy < H - border) & (xx >= border) & (xx < W - border)
     score = jnp.where(keep & inb, resp, -jnp.inf).reshape(-1)
-    idx = jnp.argsort(-score)[:max_corners]
+    # top_k, not argsort(-score)[:K]: selecting K=512 of ~465K pixels is
+    # the detector's dominant cost and top_k avoids the full-image sort
+    top, idx = jax.lax.top_k(score, max_corners)
     iy, ix = idx // W, idx % W
-    valid = score[idx] > -jnp.inf
+    valid = top > -jnp.inf
 
     # subpixel refinement: 1-D parabola fits on the response along y and x
     # (integer corner positions quantise small optical flows — a 2 px
