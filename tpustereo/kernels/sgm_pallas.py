@@ -516,8 +516,91 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
 # final backward sweep fused with WTA + incremental right-disparity
 # ---------------------------------------------------------------------------
 
+def _wta_from_S(S, amin, lane, D, d_real, cfg, mxu):
+    """WTA + uniqueness + subpixel + incremental right-WTA step on one
+    slab of COMPLETED S columns (M, D). Factored out of the kernel body so
+    the SWAR path can run it once per row half (the WTA value packing
+    S*256+lane needs 19 bits, so WTA itself cannot ride 2x16 fields).
+    Returns (o1 (M, 1), deltas (M, 1), amin_next (M, D))."""
+    M = S.shape[0]
+    if d_real < D:
+        S = jnp.where(lane >= d_real, _BIGPACK, S)
+    else:
+        # padded-lane L can reach ~2^24; clamp so packing cannot wrap
+        S = jnp.minimum(S, _BIGPACK)
+
+    packed = S * 256 + lane
+    m = _min_lanes_full(packed)[:, :1]              # (M, 1)
+    best = m >> 8
+    d_int = m & 255
+    if mxu:
+        ones = jnp.ones((D, 1), jnp.float32)
+        one_hot = lane == d_int
+
+    valid = jnp.full((M, 1), True)  # padded sublane rows are sliced off
+    if cfg.uniqueness_ratio > 0 and mxu:
+        # "no lane outside the d*±1 window violates the ratio" — an
+        # existence test == a lane-count, so it rides the MXU (0/1
+        # values, count <= 128: exact at any matmul precision) instead
+        # of a masked min tree on the VPU
+        viol = ((jnp.abs(lane - d_int) > 1)
+                & (S * 100 < best * (100 + cfg.uniqueness_ratio)))
+        cnt = jnp.dot(jnp.where(viol, 1.0, 0.0), ones)
+        valid &= cnt == 0.0
+    elif cfg.uniqueness_ratio > 0:
+        masked = jnp.where(jnp.abs(lane - d_int) <= 1, _BIGPACK * 256, S)
+        second = _min_lanes_full(masked)[:, :1]
+        valid &= ~(second * 100 < best * (100 + cfg.uniqueness_ratio))
+
+    if cfg.subpixel and mxu:
+        # one-hot extraction of S[d*-1]/S[d*+1] as a lane SUM on the
+        # MXU (single nonzero < 2^20 -> exact in f32, but ONLY at
+        # Precision.HIGHEST: default bf16 passes have a 8-bit
+        # mantissa). Decode matches the tree path bit-for-bit:
+        # min(A, best+4095) - best == min(A - best, 4095).
+        A = _roll(S, 1, axis=1)    # lane d: S[d-1]
+        B = _roll(S, -1, axis=1)   # lane d: S[d+1]
+        hi = jax.lax.Precision.HIGHEST
+        a_sel = jnp.dot(jnp.where(one_hot, A, 0).astype(jnp.float32),
+                        ones, precision=hi).astype(jnp.int32)
+        b_sel = jnp.dot(jnp.where(one_hot, B, 0).astype(jnp.float32),
+                        ones, precision=hi).astype(jnp.int32)
+        deltas = (jnp.minimum(a_sel - best, 4095) * 4096
+                  + jnp.minimum(b_sel - best, 4095))
+    elif cfg.subpixel:
+        # only the parabola deltas leave the kernel; the float math runs
+        # once over the (H, W) maps outside (the ~10 float ops per step
+        # on lane-padded (M, 1) columns cost a full slab op each in
+        # Mosaic). Both neighbours ride ONE packed roll-tree: lane d of
+        # A/B holds S[d-1]/S[d+1], only lane d_int is unmasked, so the
+        # lexicographic min IS the (S[dm], S[dp]) pair — a second tree
+        # (the old per-neighbour masked reduce) is redundant. At the
+        # search edge the rolls wrap; `interior` masking in the decode
+        # discards those, and the caps keep the pack from overflowing
+        # (real-column deltas are < 4096 by S_max < _BIGPACK there).
+        A = _roll(S, 1, axis=1)    # lane d: S[d-1]
+        B = _roll(S, -1, axis=1)   # lane d: S[d+1]
+        cap = best + 4095
+        pk = jnp.where(lane == d_int,
+                       jnp.minimum(A, cap) * 4096 + jnp.minimum(B, cap),
+                       1 << 30)
+        m2 = _min_lanes_full(pk)[:, :1]
+        deltas = m2 - best * 4097   # == (sm-best)*4096 + (sp-best)
+    else:
+        deltas = jnp.zeros((M, 1), jnp.int32)
+
+    # incremental right-view WTA: lane i of amin accumulates column
+    # x-i's diagonal; lane 0 is complete at this step
+    A = jnp.minimum(amin, packed)
+    d_r = A[:, 0:1] & 255
+    amin_next = jnp.where(lane == D - 1, _BIGPACK * 256,
+                          _roll(A, -1, axis=1))
+    o1 = valid.astype(jnp.int32) * 65536 + d_int * 256 + d_r
+    return o1, deltas, amin_next
+
+
 def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, d_real,
-                    w_real, R, has_p2m, mxu):
+                    w_real, R, has_p2m, mxu, swar=False):
     """Grid step g = columns x in [xb, xb+R), xb = (G-1-g)*R, walked in
     descending order: runs the W (backward-horizontal) SGM step, completes S
     for each column, and does WTA + uniqueness + subpixel immediately — S
@@ -536,114 +619,82 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, d_real,
 
     t = pl.program_id(0)
     G = pl.num_programs(0)
-    N, D = carry_ref.shape
+    N, D = s_ref.shape[1], s_ref.shape[2]  # swar carry is (N//2, D)
     xb = (G - 1 - t) * R
     lane = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)
+    Hh = N // 2
+    laneH = jax.lax.broadcasted_iota(jnp.int32, (Hh, D), 1)
 
     @pl.when(t == 0)
     def _():
-        carry_ref[...] = jnp.zeros((N, D), jnp.int32)   # q-form, see sweep
+        carry_ref[...] = jnp.zeros(carry_ref.shape, jnp.int32)  # q-form
         amin_ref[...] = jnp.full((N, D), _BIGPACK * 256, jnp.int32)
 
     for j in range(R - 1, -1, -1):
         x = xb + j
         c = c_ref[j].astype(jnp.int32)
-        if d_real < D:
-            c = jnp.where(lane >= d_real, _BIG, c)
-
-        # SGM backward-horizontal step (dx = 0), renormalised q carry
-        q = carry_ref[...]
-        up = _roll(q, -1, axis=1)
-        up = jnp.where(lane == D - 1, _BIG, up)
-        dn = _roll(q, 1, axis=1)
-        dn = jnp.where(lane == 0, _BIG, dn)
-        if p2_ref is not None:
-            p2 = p2_ref[j][:, 0:1]
-        else:
-            p2 = p2_const
-        cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn) + p1), p2)
-        L = c + cand
-
         real = x < w_real  # scan axis may carry frame padding at the end
 
-        S = s_ref[j].astype(jnp.int32) + L              # final S column (N, D)
-        if d_real < D:
-            S = jnp.where(lane >= d_real, _BIGPACK, S)
+        if swar:
+            # 2x16 halves-packed SGM recurrence (dx = 0: no seam/OOB
+            # machinery needed — see _sweep_kernel); the WTA value packing
+            # needs 19 bits, so WTA runs per unpacked half instead, with
+            # each half's right-WTA carry in its own amin_ref band
+            big2 = (_BIG16 << 16) | _BIG16
+            cp = (c[:Hh] << 16) | c[Hh:]
+            if d_real < D:
+                cp = jnp.where(laneH >= d_real, big2, cp)
+            q = carry_ref[...]
+            up = _roll(q, -1, axis=1)
+            up = jnp.where(laneH == D - 1, big2, up)
+            dn = _roll(q, 1, axis=1)
+            dn = jnp.where(laneH == 0, big2, dn)
+            cand = _swar_min(
+                _swar_min(q, _swar_min(up, dn) + ((p1 << 16) | p1)),
+                jnp.full((Hh, D), (p2_const << 16) | p2_const, jnp.int32))
+            L = cp + cand
+            s32 = s_ref[j].astype(jnp.int32)
+            o1h, o2h, amin_h = _wta_from_S(s32[:Hh] + (L >> 16),
+                                           amin_ref[:Hh], laneH, D, d_real,
+                                           cfg, mxu)
+            o1l, o2l, amin_l = _wta_from_S(s32[Hh:] + (L & 0xFFFF),
+                                           amin_ref[Hh:], laneH, D, d_real,
+                                           cfg, mxu)
+            o1 = jnp.concatenate([o1h, o1l], axis=0)
+            deltas = jnp.concatenate([o2h, o2l], axis=0)
+
+            @pl.when(real)  # padded trailing steps must not touch state
+            def _():
+                M = L
+                for b in range(7):
+                    M = _swar_min(M, _roll(M, 1 << b, axis=1))
+                carry_ref[...] = L - M
+                amin_ref[:Hh] = amin_h
+                amin_ref[Hh:] = amin_l
         else:
-            # padded-lane L can reach ~2^24; clamp so packing cannot wrap
-            S = jnp.minimum(S, _BIGPACK)
+            if d_real < D:
+                c = jnp.where(lane >= d_real, _BIG, c)
+            # SGM backward-horizontal step (dx = 0), renormalised q carry
+            q = carry_ref[...]
+            up = _roll(q, -1, axis=1)
+            up = jnp.where(lane == D - 1, _BIG, up)
+            dn = _roll(q, 1, axis=1)
+            dn = jnp.where(lane == 0, _BIG, dn)
+            if p2_ref is not None:
+                p2 = p2_ref[j][:, 0:1]
+            else:
+                p2 = p2_const
+            cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn) + p1), p2)
+            L = c + cand
+            S = s_ref[j].astype(jnp.int32) + L          # final S column
+            o1, deltas, amin_next = _wta_from_S(S, amin_ref[...], lane, D,
+                                                d_real, cfg, mxu)
 
-        packed = S * 256 + lane
-        m = _min_lanes_full(packed)[:, :1]              # (N, 1)
-        best = m >> 8
-        d_int = m & 255
-        if mxu:
-            ones = jnp.ones((D, 1), jnp.float32)
-            one_hot = lane == d_int
-
-        valid = jnp.full((N, 1), True)  # padded sublane rows are sliced off
-        if cfg.uniqueness_ratio > 0 and mxu:
-            # "no lane outside the d*±1 window violates the ratio" — an
-            # existence test == a lane-count, so it rides the MXU (0/1
-            # values, count <= 128: exact at any matmul precision) instead
-            # of a masked min tree on the VPU
-            viol = ((jnp.abs(lane - d_int) > 1)
-                    & (S * 100 < best * (100 + cfg.uniqueness_ratio)))
-            cnt = jnp.dot(jnp.where(viol, 1.0, 0.0), ones)
-            valid &= cnt == 0.0
-        elif cfg.uniqueness_ratio > 0:
-            masked = jnp.where(jnp.abs(lane - d_int) <= 1, _BIGPACK * 256, S)
-            second = _min_lanes_full(masked)[:, :1]
-            valid &= ~(second * 100 < best * (100 + cfg.uniqueness_ratio))
-
-        if cfg.subpixel and mxu:
-            # one-hot extraction of S[d*-1]/S[d*+1] as a lane SUM on the
-            # MXU (single nonzero < 2^20 -> exact in f32, but ONLY at
-            # Precision.HIGHEST: default bf16 passes have a 8-bit
-            # mantissa). Decode matches the tree path bit-for-bit:
-            # min(A, best+4095) - best == min(A - best, 4095).
-            A = _roll(S, 1, axis=1)    # lane d: S[d-1]
-            B = _roll(S, -1, axis=1)   # lane d: S[d+1]
-            hi = jax.lax.Precision.HIGHEST
-            a_sel = jnp.dot(jnp.where(one_hot, A, 0).astype(jnp.float32),
-                            ones, precision=hi).astype(jnp.int32)
-            b_sel = jnp.dot(jnp.where(one_hot, B, 0).astype(jnp.float32),
-                            ones, precision=hi).astype(jnp.int32)
-            deltas = (jnp.minimum(a_sel - best, 4095) * 4096
-                      + jnp.minimum(b_sel - best, 4095))
-        elif cfg.subpixel:
-            # only the parabola deltas leave the kernel; the float math runs
-            # once over the (H, W) maps outside (the ~10 float ops per step
-            # on lane-padded (N, 1) columns cost a full slab op each in
-            # Mosaic). Both neighbours ride ONE packed roll-tree: lane d of
-            # A/B holds S[d-1]/S[d+1], only lane d_int is unmasked, so the
-            # lexicographic min IS the (S[dm], S[dp]) pair — a second tree
-            # (the old per-neighbour masked reduce) is redundant. At the
-            # search edge the rolls wrap; `interior` masking in the decode
-            # discards those, and the caps keep the pack from overflowing
-            # (real-column deltas are < 4096 by S_max < _BIGPACK there).
-            A = _roll(S, 1, axis=1)    # lane d: S[d-1]
-            B = _roll(S, -1, axis=1)   # lane d: S[d+1]
-            cap = best + 4095
-            pk = jnp.where(lane == d_int,
-                           jnp.minimum(A, cap) * 4096 + jnp.minimum(B, cap),
-                           1 << 30)
-            m2 = _min_lanes_full(pk)[:, :1]
-            deltas = m2 - best * 4097   # == (sm-best)*4096 + (sp-best)
-        else:
-            deltas = jnp.zeros((N, 1), jnp.int32)
-
-        # incremental right-view WTA: lane i of amin accumulates column
-        # x-i's diagonal; lane 0 is complete at this step
-        A = jnp.minimum(amin_ref[...], packed)
-        d_r = A[:, 0:1] & 255
-        A = _roll(A, -1, axis=1)
-
-        @pl.when(real)  # padded trailing scan steps must not touch state
-        def _():
-            carry_ref[...] = L - _min_lanes_full(L)
-            amin_ref[...] = jnp.where(lane == D - 1, _BIGPACK * 256, A)
+            @pl.when(real)  # padded trailing steps must not touch state
+            def _():
+                carry_ref[...] = L - _min_lanes_full(L)
+                amin_ref[...] = amin_next
 
         # Mosaic cannot prove dynamic single-lane stores aligned; write via
         # a lane-masked read-modify-write of the (N, 128) block instead (the
@@ -651,7 +702,6 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, d_real,
         # out1 = valid<<16 | d_int<<8 | d_R; out2 = (sm-s0)<<12 | (sp-s0).
         xm = x % 128
         hit = lane128 == xm
-        o1 = valid.astype(jnp.int32) * 65536 + d_int * 256 + d_r
         o1_ref[...] = jnp.where(hit, jnp.broadcast_to(o1, (N, 128)),
                                 o1_ref[...])
         o2_ref[...] = jnp.where(hit, jnp.broadcast_to(deltas, (N, 128)),
@@ -704,10 +754,14 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
                                      memory_space=pltpu.VMEM))
         operands.append(p2_maps)
 
+    # SWAR gate for the embedded SGM recurrence (same constraints as
+    # sgm_sweep; dx = 0 so no seam/OOB machinery is involved)
+    swar = (SWEEP_SWAR and p2_maps is None
+            and N % 16 == 0 and cfg.p2 + 256 < _BIG16)
     kernel = functools.partial(
         _bwd_wta_kernel, cfg=cfg, p1=cfg.p1, p2_const=cfg.p2,
         d_real=d_real, w_real=w_real, R=R, has_p2m=p2_maps is not None,
-        mxu=MXU_REFINE)
+        mxu=MXU_REFINE, swar=swar)
 
     o1, o2 = pl.pallas_call(
         kernel,
@@ -717,7 +771,7 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
                    pl.BlockSpec((N, 128), omap, memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((N, Wx), jnp.int32),
                    jax.ShapeDtypeStruct((N, Wx), jnp.int32)),
-        scratch_shapes=[pltpu.VMEM((N, D), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((N // 2 if swar else N, D), jnp.int32),
                         pltpu.VMEM((N, D), jnp.int32)],
         interpret=interpret,
     )(*operands)
