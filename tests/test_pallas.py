@@ -464,3 +464,32 @@ def test_sweep_v32_branch_parity(rng):
             sp.SWEEP_SWAR = old
             jax.clear_caches()
     assert (outs[True] == outs[False]).all()
+
+
+def test_bwd_wta_swar_branch_parity(rng):
+    """Pin the bwd+WTA kernel's SWAR branch against its v32 branch in
+    interpret mode across the uniqueness/subpixel matrix, with scan-axis
+    padding (w_real < T) exercising the state guard. N=32 satisfies the
+    N % 16 swar gate; CPU-only coverage the pipeline tests only hit
+    incidentally (r3 review finding)."""
+    import jax
+    import tpustereo.kernels.sgm_pallas as sp
+    T, N, D = 128, 32, 128
+    Ct = jnp.asarray(rng.integers(0, 25, (T, N, D)).astype(np.int8))
+    St = jnp.asarray(rng.integers(0, 500, (T, N, D)).astype(np.int16))
+    for cfg in (Config(num_disparities=128),
+                Config(num_disparities=128, uniqueness_ratio=0,
+                       subpixel=False)):
+        outs = {}
+        for flag in (True, False):
+            old = sp.SWEEP_SWAR
+            sp.SWEEP_SWAR = flag
+            jax.clear_caches()
+            try:
+                outs[flag] = [np.asarray(v) for v in sp.sweep_bwd_wta(
+                    Ct, St, cfg, w_real=120, d_real=128, interpret=True)]
+            finally:
+                sp.SWEEP_SWAR = old
+                jax.clear_caches()
+        for a, b in zip(outs[True], outs[False]):
+            assert (a == b).all()

@@ -93,6 +93,32 @@ def _swar_min(a, b):
     return (b & e) | (a & ~e)
 
 
+def _swar_tree_min(L):
+    """Packed per-field all-lanes min, replicated (the SWAR analog of
+    _min_lanes_full; lane rolls move both fields together)."""
+    M = L
+    for b in range(7):
+        M = _swar_min(M, _roll(M, 1 << b, axis=1))
+    return M
+
+
+def _swar_sgm_step(q, cp, laneH, D, p1, p2_const):
+    """One packed dx=0 SGM recurrence step shared by _sweep_kernel and
+    _bwd_wta_kernel (ONE copy of the bit-trick family: a Mosaic workaround
+    applied here reaches both kernels — the r30f lesson). q, cp: (M, D)
+    halves-packed; returns (q_next, L) packed."""
+    big2 = (_BIG16 << 16) | _BIG16
+    up = _roll(q, -1, axis=1)
+    up = jnp.where(laneH == D - 1, big2, up)
+    dn = _roll(q, 1, axis=1)
+    dn = jnp.where(laneH == 0, big2, dn)
+    cand = _swar_min(_swar_min(q, _swar_min(up, dn) + ((p1 << 16) | p1)),
+                     jnp.full(q.shape, (p2_const << 16) | p2_const,
+                              jnp.int32))
+    L = cp + cand
+    return L - _swar_tree_min(L), L
+
+
 # MXU-assisted WTA refinement: the uniqueness and subpixel stages are
 # one-hot extractions / violation counts over the lane axis — lane SUMS,
 # not mins — so they can ride an (N, D) @ (D, 1) matmul with a ones
@@ -260,19 +286,8 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
                     lo_inv = ((rowH + Hh) < dx) | ((rowH + Hh) >= n_real + dx)
                     q = jnp.where(hi_inv, q & 0xFFFF, q)
                     q = jnp.where(lo_inv, q - (q & 0xFFFF), q)
-                up = _roll(q, -1, axis=1)
-                up = jnp.where(laneH == D - 1, big2, up)
-                dn = _roll(q, 1, axis=1)
-                dn = jnp.where(laneH == 0, big2, dn)
-                cand = _swar_min(
-                    _swar_min(q, _swar_min(up, dn) + ((p1 << 16) | p1)),
-                    jnp.full((Hh, D), (p2_const << 16) | p2_const,
-                             jnp.int32))
-                L = cpk + cand
-                M = L
-                for b in range(7):
-                    M = _swar_min(M, _roll(M, 1 << b, axis=1))
-                carry_ref[k] = L - M
+                qn, L = _swar_sgm_step(q, cpk, laneH, D, p1, p2_const)
+                carry_ref[k] = qn
                 total = L if total is None else total + L
             # fields stay < 2^15 (P2-clipped, paths*(c_max+p2) gated by
             # the pipeline), so the halves unpack exactly
@@ -641,19 +656,11 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, d_real,
             # machinery needed — see _sweep_kernel); the WTA value packing
             # needs 19 bits, so WTA runs per unpacked half instead, with
             # each half's right-WTA carry in its own amin_ref band
-            big2 = (_BIG16 << 16) | _BIG16
             cp = (c[:Hh] << 16) | c[Hh:]
             if d_real < D:
-                cp = jnp.where(laneH >= d_real, big2, cp)
-            q = carry_ref[...]
-            up = _roll(q, -1, axis=1)
-            up = jnp.where(laneH == D - 1, big2, up)
-            dn = _roll(q, 1, axis=1)
-            dn = jnp.where(laneH == 0, big2, dn)
-            cand = _swar_min(
-                _swar_min(q, _swar_min(up, dn) + ((p1 << 16) | p1)),
-                jnp.full((Hh, D), (p2_const << 16) | p2_const, jnp.int32))
-            L = cp + cand
+                cp = jnp.where(laneH >= d_real, (_BIG16 << 16) | _BIG16, cp)
+            qn, L = _swar_sgm_step(carry_ref[...], cp, laneH, D, p1,
+                                   p2_const)
             s32 = s_ref[j].astype(jnp.int32)
             o1h, o2h, amin_h = _wta_from_S(s32[:Hh] + (L >> 16),
                                            amin_ref[:Hh], laneH, D, d_real,
@@ -666,10 +673,7 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, d_real,
 
             @pl.when(real)  # padded trailing steps must not touch state
             def _():
-                M = L
-                for b in range(7):
-                    M = _swar_min(M, _roll(M, 1 << b, axis=1))
-                carry_ref[...] = L - M
+                carry_ref[...] = qn
                 amin_ref[:Hh] = amin_h
                 amin_ref[Hh:] = amin_l
         else:
