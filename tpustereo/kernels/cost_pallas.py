@@ -210,8 +210,10 @@ def census_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
     import numpy as _np
     lane = _np.arange(Dp)[None, :]
     col = _np.arange(Wq)[:, None] - rx           # real image column
+    # int8, not int32: this constant block is streamed into VMEM with the
+    # grid, so its footprint is per-step DMA — 160 KB instead of 640 KB
     oob = ((col - lane < 0) | (lane >= num_disp)
-           | (col >= W)).astype(_np.int32)[None]
+           | (col >= W)).astype(_np.int8)[None]
 
     assert padded or not with_transposed
     operands = prep(left) + prep(right) + [jnp.asarray(oob)]
