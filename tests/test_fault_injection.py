@@ -14,7 +14,12 @@ import time
 import numpy as np
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_FLAGS = ["--max-frames", "8",
+# 60 frames, not 8: the round-3 fused odometry step runs a steady-state
+# frame in single-digit milliseconds, so a short sequence could FINISH
+# before the kill below lands (observed flake) — the long tail guarantees
+# hundreds of milliseconds of remaining work at first-checkpoint time
+_N_FRAMES = 60
+_FLAGS = ["--max-frames", str(_N_FRAMES),
           "--set", "num_disparities=16", "--set", "speckle_window_size=0",
           "--set", "median_filter=false", "--set", "uniqueness_ratio=0"]
 
@@ -56,13 +61,15 @@ def test_process_kill_resume_matches_uninterrupted(tmp_path):
     killed = False
     while time.time() < deadline:
         if os.path.exists(ckpt) and os.path.getsize(ckpt) > 0:
-            time.sleep(0.3)  # let any in-flight write finish
+            # checkpoints are written atomically (tmp + os.replace in
+            # PoseGraph.save), so the file is valid the instant it
+            # exists — kill NOW, before the fast loop can finish
             os.kill(p.pid, signal.SIGKILL)
             killed = True
             break
         if p.poll() is not None:
             break
-        time.sleep(0.1)
+        time.sleep(0.005)
     out, err = p.communicate(timeout=60)
     assert killed, f"never saw a checkpoint; rc={p.returncode}\n{err[-3000:]}"
     assert p.returncode != 0  # it really was killed
@@ -74,5 +81,5 @@ def test_process_kill_resume_matches_uninterrupted(tmp_path):
 
     a = np.loadtxt(traj_full)
     b = np.loadtxt(traj_res)
-    assert a.shape == b.shape == (8, 12)
+    assert a.shape == b.shape == (_N_FRAMES, 12)
     np.testing.assert_allclose(a, b, atol=1e-5)
