@@ -209,3 +209,17 @@ def test_tiled_halo_fused_kernels_match_jnp(pair):
     a = np.asarray(sgbm_tiled(l8, r8, cfg.replace(backend="jnp"), mesh))
     b = np.asarray(sgbm_tiled(l8, r8, cfg.replace(backend="pallas"), mesh))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("backend", ["jnp", "pallas"])
+def test_tiled_exact_ring_min_disparity(pair, backend):
+    """Exact ring mode == untiled with min_disparity > 0 (the fused strip
+    bodies plumb d_start through the cost kernel / index-based LR)."""
+    L, R, _, _ = pair
+    cfg = _cfg(exact_tiling=True, paths=8, backend=backend, min_disparity=3)
+    ref = np.asarray(sgbm(jnp.asarray(L), jnp.asarray(R), cfg))
+    mesh = make_mesh(data=1, strip=4)
+    out = np.asarray(sgbm_tiled(jnp.asarray(L), jnp.asarray(R), cfg, mesh))
+    assert ((ref >= 0) == (out >= 0)).all()
+    sel = ref >= 0
+    assert np.abs(ref - out)[sel].max() < 1e-5

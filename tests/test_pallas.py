@@ -132,6 +132,7 @@ def test_fuzz_random_configs_pallas_vs_jnp(rng):
             fill = "background"  # invalid combination (Config rejects it)
         cfg = Config(
             num_disparities=int(rng.choice([16, 32])),
+            min_disparity=int(rng.choice([0, 3])),
             paths=int(rng.choice([4, 8])),
             p1=int(rng.integers(1, 20)),
             p2=int(rng.integers(40, 200)),
@@ -444,10 +445,15 @@ def test_sweep_emit_transposed_matches_transpose(small_pair):
     np.testing.assert_array_equal(np.asarray(fwd_ref), np.asarray(fwd2))
 
 
-def test_sweep_v32_branch_parity(rng):
+@pytest.mark.parametrize("d_real", [128, 64])
+def test_sweep_v32_branch_parity(rng, d_real):
     """SWEEP_SWAR=True is the default, so the v32 branch would otherwise
     lose interpret-mode coverage; pin both branches equal on a mixed
-    diagonal sweep with scan-axis padding (n_real < N)."""
+    diagonal sweep with scan-axis padding (n_real < N). d_real=64 covers
+    the SWAR padded-disparity-lane masking (cpk/big2) that presets with
+    num_disparities < 128 otherwise exercise only on-chip (r3 advisor);
+    padded lanes are allowed to differ between branches, so only the real
+    slice is compared there."""
     import jax
     import tpustereo.kernels.sgm_pallas as sp
     C = jnp.asarray(rng.integers(0, 25, (16, 64, 128)).astype(np.int8))
@@ -459,11 +465,11 @@ def test_sweep_v32_branch_parity(rng):
         try:
             outs[flag] = np.asarray(sp.sgm_sweep(
                 C, None, (0, 1, -1), True, p1=10, p2=120, n_real=58,
-                d_real=128, interpret=True))
+                d_real=d_real, interpret=True))
         finally:
             sp.SWEEP_SWAR = old
             jax.clear_caches()
-    assert (outs[True] == outs[False]).all()
+    assert (outs[True][..., :d_real] == outs[False][..., :d_real]).all()
 
 
 def test_bwd_wta_swar_branch_parity(rng):
@@ -477,19 +483,83 @@ def test_bwd_wta_swar_branch_parity(rng):
     T, N, D = 128, 32, 128
     Ct = jnp.asarray(rng.integers(0, 25, (T, N, D)).astype(np.int8))
     St = jnp.asarray(rng.integers(0, 500, (T, N, D)).astype(np.int16))
-    for cfg in (Config(num_disparities=128),
-                Config(num_disparities=128, uniqueness_ratio=0,
-                       subpixel=False)):
-        outs = {}
-        for flag in (True, False):
-            old = sp.SWEEP_SWAR
-            sp.SWEEP_SWAR = flag
-            jax.clear_caches()
-            try:
-                outs[flag] = [np.asarray(v) for v in sp.sweep_bwd_wta(
-                    Ct, St, cfg, w_real=120, d_real=128, interpret=True)]
-            finally:
-                sp.SWEEP_SWAR = old
+    # d_real=64 < D covers the per-half _BIGPACK masking of padded
+    # disparity lanes inside the SWAR branch (r3 advisor); the outputs
+    # are per-pixel maps, so they compare in full either way
+    for d_real in (128, 64):
+        for cfg in (Config(num_disparities=d_real),
+                    Config(num_disparities=d_real, uniqueness_ratio=0,
+                           subpixel=False)):
+            outs = {}
+            for flag in (True, False):
+                old = sp.SWEEP_SWAR
+                sp.SWEEP_SWAR = flag
                 jax.clear_caches()
-        for a, b in zip(outs[True], outs[False]):
-            assert (a == b).all()
+                try:
+                    outs[flag] = [np.asarray(v) for v in sp.sweep_bwd_wta(
+                        Ct, St, cfg, w_real=120, d_real=d_real,
+                        interpret=True)]
+                finally:
+                    sp.SWEEP_SWAR = old
+                    jax.clear_caches()
+            for a, b in zip(outs[True], outs[False]):
+                assert (a == b).all()
+
+
+@pytest.mark.parametrize("mode,kw", [
+    ("sgm", {}),
+    ("sgm", dict(paths=4, fill_mode="hirschmuller")),
+    ("census_wta", {}),
+    ("sad", {}),
+])
+@pytest.mark.parametrize("d0", [5, 11])
+def test_pipeline_min_disparity_pallas_matches_jnp(rng, mode, kw, d0):
+    """min_disparity > 0 through the FUSED kernel paths (VERDICT r3 next
+    #1): cost-kernel constant shear roll, index-based WTA/LR with the
+    shifted-column d_r convention, hits map for hirschmuller fill. Bit
+    exact vs the jnp fallback (itself golden-exact, test_golden)."""
+    from tpustereo.data.synthetic import synthetic_pair
+    L, R, _, _ = synthetic_pair((40, 96), disparity=12.0, slope=0.04, seed=3)
+    l8, r8 = jnp.asarray(L), jnp.asarray(R)
+    cfg = Config(mode=mode, num_disparities=32, min_disparity=d0,
+                 disp12_max_diff=1, speckle_window_size=20, **kw)
+    a = np.asarray(sgbm(l8, r8, cfg.replace(backend="jnp")))
+    b = np.asarray(sgbm(l8, r8, cfg.replace(backend="pallas")))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("mode", ["sgm", "census_wta"])
+@pytest.mark.parametrize("D,d0", [(256, 0), (256, 7), (160, 0)])
+def test_pipeline_d256_pallas_matches_jnp(mode, D, d0):
+    """D up to 256 through the fused kernels (VERDICT r3 next #1): the
+    roll-trees/shears gain a level, the minor axis runs as two 128-lane
+    vregs, and the *256 WTA lane packing stays exact. W > D so real
+    matches exist across the whole search range."""
+    from tpustereo.data.synthetic import synthetic_pair
+    L, R, _, _ = synthetic_pair((24, 320), disparity=150.0, slope=0.1,
+                                seed=5)
+    l8, r8 = jnp.asarray(L), jnp.asarray(R)
+    cfg = Config(mode=mode, num_disparities=D, min_disparity=d0,
+                 disp12_max_diff=1, speckle_window_size=20)
+    a = np.asarray(sgbm(l8, r8, cfg.replace(backend="jnp")))
+    b = np.asarray(sgbm(l8, r8, cfg.replace(backend="pallas")))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sgbm_frames_min_disparity(rng):
+    """Frame-stacked fused path with min_disparity > 0 == per-frame runs."""
+    from tpustereo.data.synthetic import synthetic_pair
+    from tpustereo.pipeline.sgbm import sgbm_frames
+    Ls, Rs = [], []
+    for f in range(2):
+        L, R, _, _ = synthetic_pair((40, 96), disparity=10.0 + 3 * f,
+                                    slope=0.03, seed=20 + f)
+        Ls.append(L); Rs.append(R)
+    lf = jnp.asarray(np.stack(Ls)); rf = jnp.asarray(np.stack(Rs))
+    cfg = Config(num_disparities=32, min_disparity=4, paths=8,
+                 speckle_window_size=20, frames_per_step=2,
+                 backend="pallas")
+    got = np.asarray(sgbm_frames(lf, rf, cfg))
+    for f in range(2):
+        ref = np.asarray(sgbm(jnp.asarray(Ls[f]), jnp.asarray(Rs[f]), cfg))
+        np.testing.assert_array_equal(ref, got[f])

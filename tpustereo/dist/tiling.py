@@ -230,7 +230,8 @@ def _sgbm_strip_fused(left_loc, right_loc, cfg: Config, n_real: int,
     # fresh path starts) — see _zero_oob_rows
     C = census_cost_volume_pallas(ext_l, ext_r, cfg.num_disparities,
                                   cfg.max_census_cost, cfg.census_window,
-                                  interpret=interp, padded=True)
+                                  interpret=interp, padded=True,
+                                  d_start=cfg.min_disparity)
     C = _zero_oob_rows(C, h, left_loc.shape[0], n_real)
     disp_e, valid_e, dr_e = sgm_select_pallas(
         C, cfg, ext_l, interpret=interp, dims=(He, W, cfg.num_disparities))
@@ -238,7 +239,8 @@ def _sgbm_strip_fused(left_loc, right_loc, cfg: Config, n_real: int,
     disp, valid, d_r = disp_e[sl], valid_e[sl], dr_e[sl]
     if cfg.disp12_max_diff >= 0:
         valid &= dr_consistency_pallas(d_r, disp, cfg.num_disparities,
-                                       cfg.disp12_max_diff, interpret=interp)
+                                       cfg.disp12_max_diff, interpret=interp,
+                                       d_start=cfg.min_disparity)
     return disp, valid, _strip_hits(d_r, cfg)
 
 
@@ -303,7 +305,8 @@ def _sgbm_strip_exact_fused(left_loc, right_loc, cfg: Config, n_real: int,
     ext_r = halo_exchange(right_loc, ry)
     C = census_cost_volume_pallas(ext_l, ext_r, cfg.num_disparities,
                                   cfg.max_census_cost, cfg.census_window,
-                                  interpret=interp)
+                                  interpret=interp,
+                                  d_start=cfg.min_disparity)
     C_loc = _zero_oob_rows(C[ry:C.shape[0] - ry], 0, Hs, n_real)
     _, W, D = C_loc.shape
     Dp = _round_up(D, 128)
@@ -337,23 +340,35 @@ def _sgbm_strip_exact_fused(left_loc, right_loc, cfg: Config, n_real: int,
                    p2_maps=_p2_stack(left_loc, [(0, 1)], cfg, True, Tt, H8))
     p2b = _p2_stack(left_loc, [(0, -1)], cfg, True, Tt, H8)
     disp, valid, d_r = sweep_bwd_wta(Ct, St, cfg, w_real=W, d_real=D,
-                                     p2_maps=p2b, interpret=interp)
+                                     p2_maps=p2b, interpret=interp,
+                                     d_start=cfg.min_disparity)
     disp = disp[:Hs, :W]
     valid = valid[:Hs, :W].astype(bool)
     d_r = d_r[:Hs, :W]
     if cfg.disp12_max_diff >= 0:
         valid &= dr_consistency_pallas(d_r, disp, cfg.num_disparities,
-                                       cfg.disp12_max_diff, interpret=interp)
+                                       cfg.disp12_max_diff, interpret=interp,
+                                       d_start=cfg.min_disparity)
     return disp, valid, _strip_hits(d_r, cfg)
 
 
 def _strip_hits(d_r, cfg: Config):
     """Strip-local `ops.postproc.lr_hits` for fill_mode='hirschmuller', or
     None. LR machinery is row-wise (hits[y] depends only on d_R[y]), so
-    strip-local hits over exact-ring d_R equal the untiled map exactly."""
+    strip-local hits over exact-ring d_R equal the untiled map exactly.
+
+    d_r arrives in the fused kernels' INDEX convention (d_r[x] =
+    j_R(right col x - min_disparity), see sweep_bwd_wta): in that frame
+    the hit test is ∃j: |d_r[x-j] - j| <= diff with lookups at cols
+    < min_disparity failing — i.e. lr_hits at min_disparity=0 over the
+    masked map, exactly equal to the true-unit formula."""
     if cfg.fill_mode != "hirschmuller":
         return None
     from tpustereo.ops import lr_hits
+    if cfg.min_disparity:
+        col = jnp.arange(d_r.shape[1], dtype=jnp.int32)[None, :]
+        d_r = jnp.where(col < cfg.min_disparity, _BIG, d_r)
+        return lr_hits(d_r, cfg.replace(min_disparity=0))
     return lr_hits(d_r, cfg)
 
 
@@ -365,8 +380,7 @@ def _sgbm_strip(left_loc, right_loc, cfg: Config, n_real: int):
     from tpustereo.utils.backend import pallas_mode
     mode = pallas_mode(cfg)
     fused_ok = (cfg.mode == "sgm" and mode != "off"
-                and cfg.census_bits <= 64 and cfg.num_disparities <= 128
-                and cfg.min_disparity == 0
+                and cfg.census_bits <= 64 and cfg.num_disparities <= 256
                 and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096)
     if fused_ok and cfg.exact_tiling:
         disp, valid, hits = _sgbm_strip_exact_fused(
@@ -376,6 +390,9 @@ def _sgbm_strip(left_loc, right_loc, cfg: Config, n_real: int):
                                               n_real,
                                               interp=(mode == "interpret"))
     else:
+        if cfg.mode != "sad":  # jnp SAD volume is verified on-chip (r31)
+            from tpustereo.utils.backend import guard_tpu_fallback
+            guard_tpu_fallback(cfg, "tiled volume/wta")
         S = _volume_local(left_loc, right_loc, cfg, n_real)
         disp, d_int, valid = wta(S, cfg)
         valid &= lr_check(S, disp, cfg)

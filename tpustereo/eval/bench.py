@@ -190,6 +190,7 @@ def run_odometry_benchmark(cfg: Config, shape: Tuple[int, int] = (375, 1242),
     import jax.numpy as jnp
     from tpustereo.data.synthetic import synthetic_sequence
     from tpustereo.odometry import OdometryConfig
+    from tpustereo.odometry.backend import _DESC_DIM
     from tpustereo.odometry.fused import fused_track_step
 
     H, W = shape
@@ -201,7 +202,7 @@ def run_odometry_benchmark(cfg: Config, shape: Tuple[int, int] = (375, 1242),
     intr = jnp.asarray([calib.fx, calib.fy, calib.cx, calib.cy], jnp.float32)
     baseline = jnp.float32(calib.baseline)
     K = ocfg.max_corners
-    zeros = (jnp.zeros((K, 64), jnp.float32), jnp.zeros((K,), bool),
+    zeros = (jnp.zeros((K, _DESC_DIM), jnp.float32), jnp.zeros((K,), bool),
              jnp.zeros((K, 3), jnp.float32))
     out0 = fused_track_step(jnp.asarray(seq[0][0]), jnp.asarray(seq[0][1]),
                             *zeros, intr, baseline, cfg, ocfg)

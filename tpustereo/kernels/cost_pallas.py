@@ -86,16 +86,19 @@ def _census_from_shifts(rows, rx: int) -> list:
     return planes
 
 
-def _shear_down(slab: jnp.ndarray, lane: jnp.ndarray) -> jnp.ndarray:
-    """out[.., x, d] = slab[.., x-d, d] (wrap mod W; callers mask)."""
-    for b in range(7):
+def _shear_down(slab: jnp.ndarray, lane: jnp.ndarray,
+                bits: int = 7) -> jnp.ndarray:
+    """out[.., x, d] = slab[.., x-d, d] (wrap mod W; callers mask).
+    bits: roll-tree depth — 7 covers D <= 128, 8 covers D <= 256
+    (multi-vreg lane rolls are the proven idiom, see the align roll)."""
+    for b in range(bits):
         rolled = pltpu.roll(slab, 1 << b, axis=1)
         slab = jnp.where(((lane >> b) & 1) == 1, rolled, slab)
     return slab
 
 
 def _kernel(*refs, n_dy, rx, d_real, max_cost, w_real, h_real, align,
-            with_t, g_frame):
+            with_t, g_frame, d_start):
     l_refs = refs[:n_dy]
     r_refs = refs[n_dy:2 * n_dy]
     oob_ref = refs[2 * n_dy]
@@ -109,7 +112,13 @@ def _kernel(*refs, n_dy, rx, d_real, max_cost, w_real, h_real, align,
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, Wq, D), 2)
     pc = None
     for clp, crp in zip(cl, cr):
-        crs = _shear_down(jnp.broadcast_to(crp[..., None], (R, Wq, D)), lane)
+        if d_start:
+            # min_disparity: plane j matches cenR[x - d_start - j]; one
+            # constant roll before the per-lane shear shifts every plane
+            # (wrap deposits junk only where the OOB mask fires anyway)
+            crp = pltpu.roll(crp, d_start % Wq, axis=1)
+        crs = _shear_down(jnp.broadcast_to(crp[..., None], (R, Wq, D)), lane,
+                          bits=(D - 1).bit_length())
         p = _popcount32(clp[..., None] ^ crs)
         pc = p if pc is None else pc + p
     # out-of-search mask (x-d < 0 | d >= D | x >= W): a fixed (col, lane)
@@ -157,11 +166,17 @@ def census_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
                               window=(5, 5),
                               interpret: bool = False,
                               padded: bool = False,
-                              with_transposed: bool = False):
+                              with_transposed: bool = False,
+                              d_start: int = 0):
     """(H, W) uint8 ×2 -> (H, W, D) uint8 cost volume, one fused pass.
 
     Drop-in for `cost_volume(census(l), census(r), ...)` when the census
-    fits 64 bits.
+    fits 64 bits. Plane j searches disparity hypothesis d_start + j
+    (min_disparity — golden/sgbm_numpy.py cost_volume_numpy): one extra
+    constant roll per census plane plus the shifted OOB mask. D up to 256
+    (two 128-lane blocks; the shear gains a roll level and the row count
+    shrinks to keep the in-kernel (R, Wq, D) int32 shear temps inside
+    scoped VMEM — calibrated against the r21-exact/r2-OOM points).
 
     padded=True returns the sweep-ready frame instead: (Hp, Wq, Dp) with
     real col x on lane x, H rounded to 8, W+margins rounded to 128, and
@@ -187,9 +202,18 @@ def census_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
     assert padded or frames == 1
     H, W = left.shape[-2:]
     Dp = _round_up(num_disp, 128)
-    Hp = _round_up(H, 8 if padded else _ROWS)
+    assert Dp <= 256, "cost kernel supports D <= 256"
     Wq = _round_up(W + 2 * rx, 128)
-    G = Hp // _ROWS
+    # rows per grid step: the in-kernel (R, Wq, D) int32 shear/broadcast
+    # temps dominate scoped VMEM. Calibration points: R=4 at Wq*Dp=1536*128
+    # = 197K lanes-cells ran exact on chip (r21); R=4 at Wq=3072, Dp=128
+    # OOM'd (r2 probe); R=8 at Wq=1280, Dp=128 measured 23.99 MB (r37). So
+    # cap R*Wq*Dp at the proven 4*1536*128 and halve R until it fits.
+    rows = _ROWS
+    while rows > 1 and rows * Wq * Dp > 4 * 1536 * 128:
+        rows //= 2
+    Hp = _round_up(H, 8 if padded else rows)
+    G = Hp // rows
 
     def prep1(img):
         """list over dy in [-ry, ry] of (G, R, Wq) int32 row-plane arrays.
@@ -197,7 +221,7 @@ def census_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
         flip the compares); lane l = image col l - rx (margins edge-pad)."""
         p = jnp.pad(img, ((ry, ry + Hp - H), (rx, rx)), mode="edge")
         p = jnp.pad(p, ((0, 0), (0, Wq - p.shape[1]))).astype(jnp.int32)
-        return [p[ry + dy: ry + dy + Hp].reshape(G, _ROWS, Wq)
+        return [p[ry + dy: ry + dy + Hp].reshape(G, rows, Wq)
                 for dy in range(-ry, ry + 1)]
 
     def prep(img):
@@ -212,28 +236,28 @@ def census_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
     col = _np.arange(Wq)[:, None] - rx           # real image column
     # int8, not int32: this constant block is streamed into VMEM with the
     # grid, so its footprint is per-step DMA — 160 KB instead of 640 KB
-    oob = ((col - lane < 0) | (lane >= num_disp)
+    oob = ((col - lane - d_start < 0) | (lane >= num_disp)
            | (col >= W)).astype(_np.int8)[None]
 
     assert padded or not with_transposed
     operands = prep(left) + prep(right) + [jnp.asarray(oob)]
     n_dy = 2 * ry + 1
-    spec = pl.BlockSpec((1, _ROWS, Wq), lambda t: (t, 0, 0),
+    spec = pl.BlockSpec((1, rows, Wq), lambda t: (t, 0, 0),
                         memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel, n_dy=n_dy, rx=rx, d_real=num_disp,
                                max_cost=max_cost, w_real=W, h_real=H,
                                align=padded, with_t=with_transposed,
-                               g_frame=G)
+                               g_frame=G, d_start=d_start)
     Gt = frames * G
-    out_specs = pl.BlockSpec((_ROWS, Wq, Dp), lambda t: (t, 0, 0),
+    out_specs = pl.BlockSpec((rows, Wq, Dp), lambda t: (t, 0, 0),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((frames * Hp, Wq, Dp), jnp.uint8)
     if with_transposed:
         out_specs = (out_specs,
-                     pl.BlockSpec((Wq, 1, _ROWS, Dp), lambda t: (0, t, 0, 0),
+                     pl.BlockSpec((Wq, 1, rows, Dp), lambda t: (0, t, 0, 0),
                                   memory_space=pltpu.VMEM))
         out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((Wq, Gt, _ROWS, Dp), jnp.uint8))
+                     jax.ShapeDtypeStruct((Wq, Gt, rows, Dp), jnp.uint8))
     res = pl.pallas_call(
         kernel,
         grid=(Gt,),

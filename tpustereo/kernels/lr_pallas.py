@@ -82,24 +82,38 @@ def _kernel_hits(dl_ref, dr_ref, out_ref, hits_ref, *, d_real, max_diff,
 
 def dr_consistency_pallas(d_r: jnp.ndarray, disp: jnp.ndarray, num_disp: int,
                           max_diff: int, interpret: bool = False,
-                          with_hits: bool = False):
+                          with_hits: bool = False, d_start: int = 0):
     """|d_L(x) - d_R(x - round(d_L(x)))| <= max_diff; (H, W) bool.
 
     d_r int32, disp float32, both (H, W). Drop-in for the jnp
-    `dr_consistency` at min_disparity == 0 (the kernel-path precondition).
-    with_hits=True additionally returns the `ops.postproc.lr_hits`
-    intersection map (for fill_mode='hirschmuller') from the same pass."""
+    `dr_consistency`. with_hits=True additionally returns the
+    `ops.postproc.lr_hits` intersection map (for fill_mode='hirschmuller')
+    from the same pass.
+
+    d_start (min_disparity): the kernel is disparity-INDEX based and
+    unchanged — `disp` arrives in true units (dl index = round - d_start),
+    `d_r` in the fused path's shifted-column index convention
+    (d_r[x] = j_R(right col x - d_start), see sweep_bwd_wta), under which
+    the lookup for pixel x is d_r[x - j_L] — the same roll the d_start=0
+    kernel runs. The only d_start-specific bit is the in-image condition:
+    x - d_L >= 0 ⟺ lookup col >= d_start, so the first d_start REAL
+    columns of d_r join the BIG sentinel margin (they hold right cols
+    < 0). Matches `ops.postproc.dr_consistency`/`lr_hits` exactly."""
     H, W = d_r.shape
     Hp = _round_up(H, _ROWS)
     d_off = _round_up(num_disp, 128)
     Wq = _round_up(W, 128)
     Wp = d_off + Wq
 
-    dl = jnp.round(disp).astype(jnp.int32)
+    dl = jnp.round(disp).astype(jnp.int32) - d_start
+    d_r = d_r.astype(jnp.int32)
+    if d_start:
+        col = jnp.arange(W, dtype=jnp.int32)[None, :]
+        d_r = jnp.where(col < d_start, _BIG, d_r)
     # left margin: BIG sentinels (out-of-image lookups + roll wrap target);
     # dl margin/padding = -1 matches no d, so padded columns emit 0
     dlp = jnp.pad(dl, ((0, Hp - H), (d_off, Wq - W)), constant_values=-1)
-    drp = jnp.pad(d_r.astype(jnp.int32), ((0, Hp - H), (d_off, Wq - W)),
+    drp = jnp.pad(d_r, ((0, Hp - H), (d_off, Wq - W)),
                   constant_values=_BIG)
 
     spec = pl.BlockSpec((_ROWS, Wp), lambda g: (g, 0),

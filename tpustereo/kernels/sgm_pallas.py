@@ -97,7 +97,7 @@ def _swar_tree_min(L):
     """Packed per-field all-lanes min, replicated (the SWAR analog of
     _min_lanes_full; lane rolls move both fields together)."""
     M = L
-    for b in range(7):
+    for b in range(_lane_bits(L.shape[-1])):
         M = _swar_min(M, _roll(M, 1 << b, axis=1))
     return M
 
@@ -174,13 +174,21 @@ def bwd_wta_feasible(n_sublanes: int, D: int) -> bool:
     return 62 * n_sublanes * D <= 14 * 1024 * 1024
 
 
+def _lane_bits(D: int) -> int:
+    """log2 of the (power-of-two, >= 128) minor-axis width: the roll-tree
+    depth. D = 256 runs the minor axis as two 128-lane vregs — multi-vreg
+    lane rolls are the proven idiom (the cost kernel's align roll covers
+    Wq ~ 1280), so the tree just gains a level (VERDICT r3 next #1)."""
+    assert D in (128, 256), D
+    return D.bit_length() - 1
+
+
 def _min_lanes_full(x: jnp.ndarray) -> jnp.ndarray:
     """All-lanes min, replicated to every lane, via a log roll-tree over the
-    minor axis (must be 128 wide). Mosaic's native lane reduce + broadcast
+    minor axis (128 or 256 wide). Mosaic's native lane reduce + broadcast
     measured 5.9 us per call on a (1248, 128) slab vs ~1.4 us for this —
     and the reduces are the dominant per-step cost of the SGM sweeps."""
-    assert x.shape[-1] == 128, x.shape
-    for b in range(7):
+    for b in range(_lane_bits(x.shape[-1])):
         x = jnp.minimum(x, pltpu.roll(x, 1 << b, axis=x.ndim - 1))
     return x
 
@@ -482,11 +490,15 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
 
     # SWAR gate (see SWEEP_SWAR): no adaptive-P2 maps, no ring carry
     # hand-off, no transposed emission, no direction batching, halves
-    # sublane-aligned (N/2 % 8), and field headroom for P2-clipped values
+    # sublane-aligned (N/2 % 8), and field headroom for P2-clipped values.
+    # p1 is in the bound too: min(up, dn) in _swar_sgm_step can hold a
+    # padded-lane carry field of ~_BIG16 + p2, and adding p1 must not push
+    # it past 0x8000 (_swar_min's field precondition) — unreachable through
+    # the pipeline gates, but sgm_sweep is callable directly (r3 advisor).
     swar = (SWEEP_SWAR and p2_maps is None and init_carry is None
             and not return_final_carry and not emit_transposed
             and not (BATCH_DIRS and K > 1)
-            and N % 16 == 0 and p2 + 256 < _BIG16)
+            and N % 16 == 0 and p1 + p2 + 256 < _BIG16)
     kernel = functools.partial(
         _sweep_kernel, dxs=tuple(dxs), p1=p1, p2_const=p2, n_real=n_real,
         d_real=d_real, R=R, reverse=reverse,
@@ -716,6 +728,7 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
                   w_real: int, d_real: int,
                   p2_maps: jnp.ndarray | None = None,
                   rows_per_step: int = 1,
+                  d_start: int = 0,
                   interpret: bool = False):
     """Backward-horizontal sweep over Ct (W, N, D) + fused WTA.
 
@@ -726,6 +739,17 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
     parabola floats are computed here from the packed deltas with exactly
     the golden ops (integer deltas <= 8*(C_max+P2) < 4096 are exact in
     f32, so the result is bit-identical to the in-kernel float version).
+
+    min_disparity (`d_start`): the kernel is disparity-INDEX based and
+    needs no change — plane j of Ct/St is hypothesis d_start + j (the cost
+    kernel builds it that way); d_start only enters the float decode here
+    (`disp` returns in TRUE units) while `d_r` stays the index map in the
+    shifted-column convention d_r[x] = j_R(right col x - min_disparity):
+    the rolling amin's lane 0 at step x completes right column
+    x - min_disparity's diagonal min_j S(x_R + min_disparity + j, j).
+    Both consumers (dr_consistency, lr_hits) only ever look it up at
+    x - j_L, which lands at real completed columns — see
+    `dr_consistency_pallas(d_start=...)`.
     """
     T, N, D = Ct.shape
     # VMEM budget (see sgm_sweep): Ct + St slabs double-buffered + two
@@ -759,9 +783,10 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
         operands.append(p2_maps)
 
     # SWAR gate for the embedded SGM recurrence (same constraints as
-    # sgm_sweep; dx = 0 so no seam/OOB machinery is involved)
+    # sgm_sweep incl. the p1 headroom term; dx = 0 so no seam/OOB
+    # machinery is involved)
     swar = (SWEEP_SWAR and p2_maps is None
-            and N % 16 == 0 and cfg.p2 + 256 < _BIG16)
+            and N % 16 == 0 and cfg.p1 + cfg.p2 + 256 < _BIG16)
     kernel = functools.partial(
         _bwd_wta_kernel, cfg=cfg, p1=cfg.p1, p2_const=cfg.p2,
         d_real=d_real, w_real=w_real, R=R, has_p2m=p2_maps is not None,
@@ -782,7 +807,10 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
     valid = o1 >= 65536
     d_int = (o1 >> 8) & 255
     d_r = o1 & 255
-    disp = d_int.astype(jnp.float32)
+    # d_start added BEFORE the subpixel offset so the float add order
+    # matches ops.wta exactly (float(d_int + d0) + offs — the other
+    # association differs by 1 ULP)
+    disp = (d_int + d_start).astype(jnp.float32)
     if cfg.subpixel:
         dm = (o2 >> 12).astype(jnp.float32)   # sm - s0
         dp = (o2 & 4095).astype(jnp.float32)  # sp - s0
@@ -814,6 +842,11 @@ def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     the d_L/d_R consistency comparison runs outside on the small maps
     (`ops.postproc.dr_consistency`). Bit-exact integer outputs vs the jnp
     ops; float disparity matches to ~1e-6 (Mosaic float rounding).
+
+    disp is in TRUE units (cfg.min_disparity added to the index-unit
+    kernel output); d_r is the INDEX map in the sweep_bwd_wta
+    shifted-column convention — pass it to
+    `dr_consistency_pallas(..., d_start=cfg.min_disparity)`.
 
     frames > 1 (requires dims + Ct from the multi-frame cost kernel):
     C holds F frames stacked on the row axis, Hp rows each. The vertical
@@ -877,7 +910,8 @@ def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
                  p2_maps=_p2_stack(img, [(0, 1)], cfg, True, Tt, H8))
     p2b = _p2_stack(img, [(0, -1)], cfg, True, Tt, H8)
     disp, valid, d_r = sweep_bwd_wta(Ct, St, cfg, w_real=W, d_real=D,
-                                     p2_maps=p2b, interpret=interpret)
+                                     p2_maps=p2b, interpret=interpret,
+                                     d_start=cfg.min_disparity)
     if frames > 1:
         shp = (frames, Hp, disp.shape[1])
         return (disp.reshape(shp)[:, :H, :W],

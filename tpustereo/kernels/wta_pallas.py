@@ -47,19 +47,25 @@ def _round_up(x: int, m: int) -> int:
 
 def _min_lanes_full(x: jnp.ndarray) -> jnp.ndarray:
     """All-lanes min replicated to every lane via a log roll-tree (Mosaic's
-    native lane reduce measured ~4x slower; see sgm_pallas)."""
-    assert x.shape[-1] == 128, x.shape
-    for b in range(7):
+    native lane reduce measured ~4x slower; see sgm_pallas). Minor axis
+    128 or 256 wide (D=256 = two 128-lane vregs, one extra tree level)."""
+    from tpustereo.kernels.sgm_pallas import _lane_bits
+    for b in range(_lane_bits(x.shape[-1])):
         x = jnp.minimum(x, pltpu.roll(x, 1 << b, axis=x.ndim - 1))
     return x
 
 
-def _shear(slab: jnp.ndarray, lane: jnp.ndarray, up: bool) -> jnp.ndarray:
-    """Lane-dependent roll along axis 1: out[.., x, d] = slab[.., x+d, d]
-    (up) or slab[.., x-d, d] (down), wrapping mod W — callers mask the wrap.
-    pltpu.roll(x, s)[i] = x[i-s], so 'up' composes rolls of W - 2^b."""
+def _shear(slab: jnp.ndarray, lane: jnp.ndarray, up: bool,
+           bits: int = 7, extra: int = 0) -> jnp.ndarray:
+    """Lane-dependent roll along axis 1: out[.., x, d] = slab[.., x+d+e, d]
+    (up) or slab[.., x-d-e, d] (down) with e = `extra` (the min_disparity
+    offset — one constant roll), wrapping mod W — callers mask the wrap.
+    pltpu.roll(x, s)[i] = x[i-s], so 'up' composes rolls of W - 2^b.
+    bits: tree depth — 7 covers D <= 128, 8 covers D <= 256."""
     W = slab.shape[1]
-    for b in range(7):  # D <= 128 => shifts 0..127
+    if extra:
+        slab = pltpu.roll(slab, ((W - extra) if up else extra) % W, axis=1)
+    for b in range(bits):
         sh = (W - (1 << b)) % W if up else (1 << b)
         rolled = pltpu.roll(slab, sh, axis=1)
         slab = jnp.where(((lane >> b) & 1) == 1, rolled, slab)
@@ -69,6 +75,8 @@ def _shear(slab: jnp.ndarray, lane: jnp.ndarray, up: bool) -> jnp.ndarray:
 def _kernel(s_ref, disp_ref, valid_ref, *, cfg: Config, w_real: int,
             d_real: int, mxu: bool):
     R, W, D = s_ref.shape
+    d0 = cfg.min_disparity
+    bits = (D - 1).bit_length()
     s = s_ref[...].astype(jnp.int32)                    # (R, W, D)
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, W, D), 2)
     col = jax.lax.broadcasted_iota(jnp.int32, (R, W, 1), 1)
@@ -98,7 +106,9 @@ def _kernel(s_ref, disp_ref, valid_ref, *, cfg: Config, w_real: int,
         second = _min_lanes_full(masked)[..., :1]
         valid &= ~(second * 100 < best * (100 + cfg.uniqueness_ratio))
 
-    disp = d_int.astype(jnp.float32)
+    # d0 added BEFORE the subpixel offset: float(d_int + d0) + offs is the
+    # ops.wta association (the other order differs by 1 ULP)
+    disp = (d_int + d0).astype(jnp.float32)
     if cfg.subpixel:
         dm = jnp.maximum(d_int - 1, 0)
         dp = jnp.minimum(d_int + 1, d_real - 1)
@@ -120,22 +130,27 @@ def _kernel(s_ref, disp_ref, valid_ref, *, cfg: Config, w_real: int,
         disp = disp + jnp.where(interior, offs, 0.0)
 
     if cfg.disp12_max_diff >= 0:
-        # right-view WTA: d_R(x) = argmin_d S(x+d, d) via up-shear
+        # right-view WTA: d_R(x) = argmin_j S(x+d0+j, j) via up-shear (all
+        # index units; d0 = min_disparity rides the shear's constant roll)
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (R, W, D), 1)
-        diag = _shear(s, lane, up=True)
-        diag = jnp.where(lane_w + lane > w_real - 1, _BIG, diag)
+        diag = _shear(s, lane, up=True, bits=bits, extra=d0)
+        diag = jnp.where(lane_w + lane + d0 > w_real - 1, _BIG, diag)
         mr = _min_lanes_full(diag * 256 + lane)[..., :1]
         d_r = mr & 255                                   # (R, W, 1)
-        # d_R at x - d_L via down-shear of the broadcast d_R column
-        G = _shear(jnp.broadcast_to(d_r, (R, W, D)), lane, up=False)
-        G = jnp.where(lane_w - lane < 0, (1 << 12), G)
-        dl = jnp.round(disp).astype(jnp.int32)           # (R, W, 1)
+        # d_R at x - d_L = x - d0 - j_L via down-shear of the broadcast
+        # d_R column; out-of-image (x - d_L < 0) fails the check exactly
+        # like the jnp fallback's _BIG fill
+        G = _shear(jnp.broadcast_to(d_r, (R, W, D)), lane, up=False,
+                   bits=bits, extra=d0)
+        G = jnp.where(lane_w - lane - d0 < 0, (1 << 12), G)
+        dl = jnp.round(disp).astype(jnp.int32) - d0      # (R, W, 1) index
         if mxu:
             dr_at = pick(G, lane == dl)
         else:
             dr_at = _min_lanes_full(jnp.where(lane == dl, G,
                                               _BIG))[..., :1]
-        valid &= (col >= dl) & (jnp.abs(dl - dr_at) <= cfg.disp12_max_diff)
+        valid &= (col - d0 >= dl) & (jnp.abs(dl - dr_at)
+                                     <= cfg.disp12_max_diff)
 
     disp_ref[0] = disp[..., 0]
     valid_ref[0] = valid[..., 0].astype(jnp.int32)

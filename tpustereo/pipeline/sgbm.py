@@ -21,7 +21,8 @@ from tpustereo.ops import (aggregate, census, cost_volume, lr_check, median3,
 INVALID = -1.0  # plain float: module import must not initialise the backend
 
 
-from tpustereo.utils.backend import pallas_mode as _pallas_mode  # noqa: E402
+from tpustereo.utils.backend import (  # noqa: E402
+    guard_tpu_fallback as _guard_fallback, pallas_mode as _pallas_mode)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -45,13 +46,15 @@ def sgbm_volume(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
                           d_start=cfg.min_disparity)
     mode = _pallas_mode(cfg)
     interp = mode == "interpret"
-    if (mode != "off" and cfg.census_bits <= 64 and cfg.num_disparities <= 128
-            and cfg.min_disparity == 0):
+    if (mode != "off" and cfg.census_bits <= 64
+            and cfg.num_disparities <= 256):
         from tpustereo.kernels import census_cost_volume_pallas
         C = census_cost_volume_pallas(left, right, cfg.num_disparities,
                                       cfg.max_census_cost, cfg.census_window,
-                                      interpret=interp)
+                                      interpret=interp,
+                                      d_start=cfg.min_disparity)
     else:
+        _guard_fallback(cfg, "census/cost_volume")
         cl = census(left, cfg.census_window)
         cr = census(right, cfg.census_window)
         C = cost_volume(cl, cr, cfg.num_disparities, cfg.max_census_cost,
@@ -61,19 +64,21 @@ def sgbm_volume(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
     if mode != "off":
         from tpustereo.kernels import aggregate_pallas
         return aggregate_pallas(C, cfg, left, interpret=interp)
+    _guard_fallback(cfg, "aggregate")
     return aggregate(C, cfg, left)
 
 
 def _select_and_refine(S: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     mode = _pallas_mode(cfg)
-    # SAD volumes can exceed int16 at large blocks; the kernel packs *256
-    # and its shear assumes D <= 128; the kernels search from d = 0 only
-    if (mode != "off" and cfg.num_disparities <= 128
-            and cfg.min_disparity == 0
+    # SAD volumes can exceed int16 at large blocks; the kernel packs *256,
+    # so D <= 256 keeps the lane byte exact (min_disparity rides the
+    # kernel's constant shear rolls)
+    if (mode != "off" and cfg.num_disparities <= 256
             and (cfg.mode != "sad" or cfg.sad_block <= 11)):
         from tpustereo.kernels import wta_lr_pallas
         disp, valid = wta_lr_pallas(S, cfg, interpret=(mode == "interpret"))
     else:
+        _guard_fallback(cfg, "wta/lr_check")
         disp, d_int, valid = wta(S, cfg)
         valid &= lr_check(S, disp, cfg)
     hits = None
@@ -134,7 +139,7 @@ def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """Single-pair pipeline: (H, W) uint8 ×2 -> (H, W) float32 disparity."""
     mode = _pallas_mode(cfg)
     if (cfg.mode == "census_wta" and mode != "off" and cfg.census_bits <= 64
-            and cfg.num_disparities <= 128 and cfg.min_disparity == 0
+            and cfg.num_disparities <= 256
             and cfg.fill_mode != "hirschmuller"):
         # (hirschmuller fill needs d_R / the hits map, which this fused
         # path never materialises — that rare combination takes the
@@ -147,15 +152,18 @@ def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
         H, W = left.shape
         C = census_cost_volume_pallas(left, right, cfg.num_disparities,
                                       cfg.max_census_cost, cfg.census_window,
-                                      interpret=interp, padded=True)
+                                      interpret=interp, padded=True,
+                                      d_start=cfg.min_disparity)
         disp, valid = wta_lr_pallas(C, cfg, interpret=interp,
                                     dims=(H, W, cfg.num_disparities))
         return _postproc(disp, valid, cfg)
     # kernel preconditions: census fits two uint32 planes; the packed-argmin
-    # and log-shear tricks assume D <= 128 lanes; the 12-bit parabola-delta
-    # packing assumes S_max = paths*(C_max+P2) < 4096
+    # and log-shear tricks assume D <= 256 lanes (the WTA packing's lane
+    # byte); the 12-bit parabola-delta packing assumes S_max =
+    # paths*(C_max+P2) < 4096. min_disparity rides the cost kernel's
+    # constant shear roll — the sweeps/WTA are disparity-index based.
     if (cfg.mode == "sgm" and mode != "off" and cfg.census_bits <= 64
-            and cfg.num_disparities <= 128 and cfg.min_disparity == 0
+            and cfg.num_disparities <= 256
             and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096
             and _bwd_feasible(left.shape[-2], 1, cfg)):
         # fully fused kernel path: cost -> sweeps -> WTA without the
@@ -180,7 +188,7 @@ def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
             res = census_cost_volume_pallas(
                 left, right, cfg.num_disparities, cfg.max_census_cost,
                 cfg.census_window, interpret=interp, padded=True,
-                with_transposed=fuse_ct)
+                with_transposed=fuse_ct, d_start=cfg.min_disparity)
             C, Ct = res if fuse_ct else (res, None)
         with jax.named_scope("sgm_select"):
             disp, valid, d_r = sgm_select_pallas(
@@ -192,12 +200,14 @@ def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
                 if cfg.fill_mode == "hirschmuller":
                     ok, hits = dr_consistency_pallas(
                         d_r, disp, cfg.num_disparities, cfg.disp12_max_diff,
-                        interpret=interp, with_hits=True)
+                        interpret=interp, with_hits=True,
+                        d_start=cfg.min_disparity)
                 else:
                     ok = dr_consistency_pallas(d_r, disp,
                                                cfg.num_disparities,
                                                cfg.disp12_max_diff,
-                                               interpret=interp)
+                                               interpret=interp,
+                                               d_start=cfg.min_disparity)
                 valid &= ok
             return _postproc(disp, valid, cfg, hits=hits)
     with jax.named_scope("sgbm_volume"):
@@ -224,22 +234,23 @@ def sgbm_frames(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
     F, H, W = left.shape
     mode = _pallas_mode(cfg)
     if (F > 1 and cfg.mode == "census_wta" and mode != "off"
-            and cfg.census_bits <= 64 and cfg.num_disparities <= 128
-            and cfg.min_disparity == 0 and cfg.fill_mode != "hirschmuller"):
+            and cfg.census_bits <= 64 and cfg.num_disparities <= 256
+            and cfg.fill_mode != "hirschmuller"):
         # stacked analog of sgbm's fused census_wta path: the WTA kernel is
         # row-local, so F frames ride one cost + one WTA launch set
         from tpustereo.kernels import census_cost_volume_pallas, wta_lr_pallas
         interp = mode == "interpret"
         C = census_cost_volume_pallas(left, right, cfg.num_disparities,
                                       cfg.max_census_cost, cfg.census_window,
-                                      interpret=interp, padded=True)
+                                      interpret=interp, padded=True,
+                                      d_start=cfg.min_disparity)
         disp, valid = wta_lr_pallas(C, cfg, interpret=interp,
                                     dims=(H, W, cfg.num_disparities),
                                     frames=F)
         return _postproc_frames(disp, valid, cfg, interp=interp)
     if (F > 1 and cfg.mode == "sgm" and mode != "off"
-            and cfg.census_bits <= 64 and cfg.num_disparities <= 128
-            and cfg.min_disparity == 0 and not cfg.adaptive_p2
+            and cfg.census_bits <= 64 and cfg.num_disparities <= 256
+            and not cfg.adaptive_p2
             and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096
             and _bwd_feasible(H, F, cfg)):
         from tpustereo.kernels import (census_cost_volume_pallas,
@@ -252,7 +263,8 @@ def sgbm_frames(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
         with jax.named_scope("cost_volume"):
             res = census_cost_volume_pallas(
                 left, right, D, cfg.max_census_cost, cfg.census_window,
-                interpret=interp, padded=True, with_transposed=fuse_ct)
+                interpret=interp, padded=True, with_transposed=fuse_ct,
+                d_start=cfg.min_disparity)
             C, Ct = res if fuse_ct else (res, None)
         with jax.named_scope("sgm_select"):
             disp, valid, d_r = sgm_select_pallas(
@@ -265,12 +277,14 @@ def sgbm_frames(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
                 if cfg.fill_mode == "hirschmuller":
                     ok, hits = dr_consistency_pallas(
                         flat(d_r), flat(disp), D, cfg.disp12_max_diff,
-                        interpret=interp, with_hits=True)
+                        interpret=interp, with_hits=True,
+                        d_start=cfg.min_disparity)
                     hits = hits.reshape(F, H, W)
                 else:
                     ok = dr_consistency_pallas(flat(d_r), flat(disp), D,
                                                cfg.disp12_max_diff,
-                                               interpret=interp)
+                                               interpret=interp,
+                                               d_start=cfg.min_disparity)
                 valid &= ok.reshape(F, H, W)
             return _postproc_frames(disp, valid, cfg, hits=hits,
                                     interp=interp)
