@@ -563,3 +563,64 @@ def test_sgbm_frames_min_disparity(rng):
     for f in range(2):
         ref = np.asarray(sgbm(jnp.asarray(Ls[f]), jnp.asarray(Rs[f]), cfg))
         np.testing.assert_array_equal(ref, got[f])
+
+
+@pytest.mark.parametrize("swar", [True, False])
+def test_sweep_bidir_matches_sequential(rng, swar):
+    """The bidirectional vertical-sweep kernel == two sequential sweeps,
+    bit for bit, in both the SWAR and v32 branches, incl. frame seams and
+    padded scan rows/disparity lanes."""
+    import jax
+    import tpustereo.kernels.sgm_pallas as sp
+    C = jnp.asarray(rng.integers(0, 25, (16, 64, 128)).astype(np.int8))
+    old = sp.SWEEP_SWAR
+    sp.SWEEP_SWAR = swar
+    jax.clear_caches()
+    try:
+        for frames, d_real in ((1, 128), (2, 64)):
+            kw = dict(p1=10, p2=120, n_real=58, d_real=d_real,
+                      frames=frames, interpret=True)
+            ref_d = np.asarray(sp.sgm_sweep(C, None, (0, 1, -1), False,
+                                            **kw))
+            ref_u = np.asarray(sp.sgm_sweep(C, None, (0, 1, -1), True,
+                                            **kw))
+            Sd, Su = sp.sgm_sweep_bidir(C, (0, 1, -1), 10, 120, n_real=58,
+                                        d_real=d_real, frames=frames,
+                                        interpret=True)
+            sl = np.s_[..., :d_real]
+            assert (np.asarray(Sd)[sl] == ref_d[sl]).all(), (swar, frames)
+            assert (np.asarray(Su)[sl] == ref_u[sl]).all(), (swar, frames)
+    finally:
+        sp.SWEEP_SWAR = old
+        jax.clear_caches()
+
+
+def test_transpose_sum_matches_separate(rng):
+    from tpustereo.kernels.transpose_pallas import (transpose_hw_pallas,
+                                                    transpose_sum_hw_pallas)
+    a = jnp.asarray(rng.integers(0, 1000, (24, 48, 128)).astype(np.int16))
+    b = jnp.asarray(rng.integers(0, 1000, (24, 48, 128)).astype(np.int16))
+    ref = np.asarray(transpose_hw_pallas(a + b, interpret=True, trim=False))
+    got = np.asarray(transpose_sum_hw_pallas(a, b, interpret=True,
+                                             trim=False))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_pipeline_bidir_vert_matches_default(small_pair):
+    """Full fused pipeline with BIDIR_VERT=True == the sequential-sweep
+    default (the toggle changes scheduling, not math)."""
+    import jax
+    import tpustereo.kernels.sgm_pallas as sp
+    L, R, _, _ = small_pair
+    l8, r8 = jnp.asarray(L), jnp.asarray(R)
+    cfg = Config(num_disparities=32, paths=8, backend="pallas")
+    ref = np.asarray(sgbm(l8, r8, cfg))
+    old = sp.BIDIR_VERT
+    sp.BIDIR_VERT = True
+    jax.clear_caches()
+    try:
+        got = np.asarray(sgbm(l8, r8, cfg))
+    finally:
+        sp.BIDIR_VERT = old
+        jax.clear_caches()
+    np.testing.assert_array_equal(ref, got)

@@ -119,6 +119,64 @@ def _swar_sgm_step(q, cp, laneH, D, p1, p2_const):
     return L - _swar_tree_min(L), L
 
 
+def _dir_step_swar(q, cpk, dx, rowH, laneH, n_real, D, p1, p2_const):
+    """One direction's halves-packed sweep step including the diagonal
+    seam fixup + per-field fresh-start masks (shared by _sweep_kernel and
+    the bidirectional kernel — one copy of the bit-trick family, r30f).
+    q: (Hh, D) packed carry as read; returns (q_next, L) packed."""
+    Hh = q.shape[0]
+    if dx != 0:
+        q = _roll(q, dx, axis=0)
+        # NO negative-constant AND masks anywhere below: Mosaic
+        # miscompiled `q & ~0xFFFF` at production sublane counts
+        # (r30f bisect: diag+n_real wrong from sublane 608 on, exact in
+        # interpret and at small N) — hi-field writes are expressed with
+        # shifts/subtracts instead.
+        if dx > 0:
+            # wrapped sublane 0: lo wants row Hh-1 = its hi
+            # (hi is OOB there and zeroed below)
+            t16 = q >> 16
+        else:
+            # wrapped sublane Hh-1: hi wants row Hh = its lo
+            t16 = q & 0xFFFF
+        fix = (t16 << 16) | t16
+        q = jnp.where(rowH == (0 if dx > 0 else Hh - 1), fix, q)
+        # per-field fresh-start masks (the v32 branch's `invalid` test,
+        # evaluated at each field's true row)
+        hi_inv = (rowH < dx) | (rowH >= n_real + dx)
+        lo_inv = ((rowH + Hh) < dx) | ((rowH + Hh) >= n_real + dx)
+        q = jnp.where(hi_inv, q & 0xFFFF, q)
+        q = jnp.where(lo_inv, q - (q & 0xFFFF), q)
+    return _swar_sgm_step(q, cpk, laneH, D, p1, p2_const)
+
+
+def _dir_step_v32(q, c, dx, row_idx, lane_idx, n_real, D, p1, p2):
+    """One direction's unpacked (int32) sweep step (shared by
+    _sweep_kernel and the bidirectional kernel). Returns (q_next, L)."""
+    if dx != 0:
+        q = _roll(q, dx, axis=0)
+        # rows whose predecessor (n - dx) falls outside [0, n_real)
+        # start a fresh path: uniform-zero q gives L = C below. For
+        # dx == 0 padded rows never interact with real rows.
+        invalid = (row_idx < dx) | (row_idx >= n_real + dx)
+        q = jnp.where(invalid, 0, q)
+    up = _roll(q, -1, axis=1)
+    up = jnp.where(lane_idx == D - 1, _BIG, up)
+    dn = _roll(q, 1, axis=1)
+    dn = jnp.where(lane_idx == 0, _BIG, dn)
+    cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn) + p1), p2)
+    L = c + cand
+    return L - _min_lanes_full(L), L
+
+
+# Bidirectional vertical sweeps: one kernel advances the down sweep at row
+# t and the up sweep at row T-1-t per grid step (independent recurrence
+# chains interleave; half the grid steps), emitting separate S_down/S_up
+# volumes that a SUMMING tile transpose combines — volume HBM passes stay
+# at the sequential path's count and one C read disappears. Toggle for
+# the on-chip A/B (VERDICT r3 next #2); default set by measurement.
+BIDIR_VERT = False
+
 # MXU-assisted WTA refinement: the uniqueness and subpixel stages are
 # one-hot extractions / violation counts over the lane axis — lane SUMS,
 # not mins — so they can ride an (N, D) @ (D, 1) matmul with a ones
@@ -271,30 +329,8 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
                 cpk = jnp.where(laneH >= d_real, big2, cpk)
             total = None
             for k, dx in enumerate(dxs):
-                q = carry_ref[k]
-                if dx != 0:
-                    q = _roll(q, dx, axis=0)
-                    # NO negative-constant AND masks anywhere below: Mosaic
-                    # miscompiled `q & ~0xFFFF` at production sublane counts
-                    # (r30f bisect: diag+n_real wrong from sublane 608 on,
-                    # exact in interpret and at small N) — hi-field writes
-                    # are expressed with shifts/subtracts instead.
-                    if dx > 0:
-                        # wrapped sublane 0: lo wants row Hh-1 = its hi
-                        # (hi is OOB there and zeroed below)
-                        t16 = q >> 16
-                    else:
-                        # wrapped sublane Hh-1: hi wants row Hh = its lo
-                        t16 = q & 0xFFFF
-                    fix = (t16 << 16) | t16
-                    q = jnp.where(rowH == (0 if dx > 0 else Hh - 1), fix, q)
-                    # per-field fresh-start masks (the v32 branch's
-                    # `invalid` test, evaluated at each field's true row)
-                    hi_inv = (rowH < dx) | (rowH >= n_real + dx)
-                    lo_inv = ((rowH + Hh) < dx) | ((rowH + Hh) >= n_real + dx)
-                    q = jnp.where(hi_inv, q & 0xFFFF, q)
-                    q = jnp.where(lo_inv, q - (q & 0xFFFF), q)
-                qn, L = _swar_sgm_step(q, cpk, laneH, D, p1, p2_const)
+                qn, L = _dir_step_swar(carry_ref[k], cpk, dx, rowH, laneH,
+                                       n_real, D, p1, p2_const)
                 carry_ref[k] = qn
                 total = L if total is None else total + L
             # fields stay < 2^15 (P2-clipped, paths*(c_max+p2) gated by
@@ -355,28 +391,13 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
         else:
             total = None
             for k, dx in enumerate(dxs):
-                q = carry_ref[k]
-                if dx != 0:
-                    q = _roll(q, dx, axis=0)
-                    # rows whose predecessor (n - dx) falls outside
-                    # [0, n_real) start a fresh path: uniform-zero q gives
-                    # L = C below. For dx == 0 padded rows never interact
-                    # with real rows.
-                    invalid = (row_idx < dx) | (row_idx >= n_real + dx)
-                    q = jnp.where(invalid, 0, q)
-
-                up = _roll(q, -1, axis=1)
-                up = jnp.where(lane_idx == D - 1, _BIG, up)
-                dn = _roll(q, 1, axis=1)
-                dn = jnp.where(lane_idx == 0, _BIG, dn)
                 if p2_ref is not None:
                     p2 = p2_ref[j][:, k:k + 1]
                 else:
                     p2 = p2_const
-                cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn) + p1),
-                                   p2)
-                L = c + cand
-                carry_ref[k] = L - _min_lanes_full(L)
+                qn, L = _dir_step_v32(carry_ref[k], c, dx, row_idx,
+                                      lane_idx, n_real, D, p1, p2)
+                carry_ref[k] = qn
                 total = L if total is None else total + L
 
         out = total.astype(jnp.int16)
@@ -537,6 +558,126 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     if emit_transposed:
         return res.reshape(N, T, D)
     return res
+
+
+# ---------------------------------------------------------------------------
+# bidirectional vertical sweep (down + up interleaved per grid step)
+# ---------------------------------------------------------------------------
+
+def _bidir_kernel(cd_ref, cu_ref, outd_ref, outu_ref, carry_ref, *,
+                  dxs, p1, p2_const, n_real, d_real, g_frame, swar):
+    """Grid step t advances the DOWN sweep at row t and the UP sweep at row
+    G-1-t in the same step: the two directions' serial recurrence chains
+    are fully independent, so Mosaic can interleave their ops (attacking
+    the dependency-stall residual the roofline names), and the grid runs
+    HALF as many steps for the same row-visits (halving per-step DMA/sync
+    granularity). carry_ref holds down carries in [0, K) and up carries in
+    [K, 2K). Same math as two `_sweep_kernel` launches — the per-direction
+    step is the SAME shared helper (`_dir_step_swar`/`_dir_step_v32`), so
+    the Mosaic bit-trick workarounds exist in one copy (r30f lesson)."""
+    t = pl.program_id(0)
+    N, D = cd_ref.shape[1], cd_ref.shape[2]
+    K = len(dxs)
+
+    @pl.when(jax.lax.rem(t, g_frame) == 0)
+    def _():
+        carry_ref[...] = jnp.zeros(carry_ref.shape, jnp.int32)
+
+    cd = cd_ref[0].astype(jnp.int32)
+    cu = cu_ref[0].astype(jnp.int32)
+    if swar:
+        Hh = N // 2
+        laneH = jax.lax.broadcasted_iota(jnp.int32, (Hh, D), 1)
+        rowH = jax.lax.broadcasted_iota(jnp.int32, (Hh, D), 0)
+        big2 = (_BIG16 << 16) | _BIG16
+        cpk_d = (cd[:Hh] << 16) | cd[Hh:]
+        cpk_u = (cu[:Hh] << 16) | cu[Hh:]
+        if d_real < D:
+            cpk_d = jnp.where(laneH >= d_real, big2, cpk_d)
+            cpk_u = jnp.where(laneH >= d_real, big2, cpk_u)
+        tot_d = tot_u = None
+        for k, dx in enumerate(dxs):
+            qn, L = _dir_step_swar(carry_ref[k], cpk_d, dx, rowH, laneH,
+                                   n_real, D, p1, p2_const)
+            carry_ref[k] = qn
+            tot_d = L if tot_d is None else tot_d + L
+            qn, L = _dir_step_swar(carry_ref[K + k], cpk_u, dx, rowH, laneH,
+                                   n_real, D, p1, p2_const)
+            carry_ref[K + k] = qn
+            tot_u = L if tot_u is None else tot_u + L
+        outd_ref[0] = jnp.concatenate([(tot_d >> 16).astype(jnp.int16),
+                                       (tot_d & 0xFFFF).astype(jnp.int16)],
+                                      axis=0)
+        outu_ref[0] = jnp.concatenate([(tot_u >> 16).astype(jnp.int16),
+                                       (tot_u & 0xFFFF).astype(jnp.int16)],
+                                      axis=0)
+    else:
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 0)
+        lane_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
+        if d_real < D:
+            cd = jnp.where(lane_idx >= d_real, _BIG, cd)
+            cu = jnp.where(lane_idx >= d_real, _BIG, cu)
+        tot_d = tot_u = None
+        for k, dx in enumerate(dxs):
+            qn, L = _dir_step_v32(carry_ref[k], cd, dx, row_idx, lane_idx,
+                                  n_real, D, p1, p2_const)
+            carry_ref[k] = qn
+            tot_d = L if tot_d is None else tot_d + L
+            qn, L = _dir_step_v32(carry_ref[K + k], cu, dx, row_idx,
+                                  lane_idx, n_real, D, p1, p2_const)
+            carry_ref[K + k] = qn
+            tot_u = L if tot_u is None else tot_u + L
+        outd_ref[0] = tot_d.astype(jnp.int16)
+        outu_ref[0] = tot_u.astype(jnp.int16)
+
+
+def bidir_feasible(N: int, D: int, K: int, swar: bool) -> bool:
+    """VMEM gate for the bidirectional sweep at R=1: 2K carry slabs plus
+    double-buffered C (u8) and out (i16) blocks at TWO grid positions."""
+    fixed = 4 * 2 * K * (N // 2 if swar else N) * D
+    per_step = 2 * 2 * (N * D + 2 * N * D)
+    return fixed + per_step <= 12 * 1024 * 1024
+
+
+def sgm_sweep_bidir(C: jnp.ndarray, dxs, p1: int, p2: int, n_real: int,
+                    d_real: int, frames: int = 1, interpret: bool = False):
+    """Down and up vertical sweeps over C (T, N, D) in ONE kernel:
+    returns (S_down, S_up), each (T, N, D) int16, bit-identical to
+    `sgm_sweep(C, None, dxs, False)` / `sgm_sweep(C, None, dxs, True)`.
+    Callers combine them with the summing transpose
+    (`transpose_sum_hw_pallas`) or a two-operand forward sweep, keeping
+    volume HBM traffic at the sequential path's level while the per-step
+    dependency chains double (VERDICT r3 next #2)."""
+    T, N, D = C.shape
+    K = len(dxs)
+    assert D % 128 == 0 and N % 8 == 0, (N, D)
+    assert T % frames == 0
+    G = T
+    swar = (SWEEP_SWAR and N % 16 == 0 and p1 + p2 + 256 < _BIG16)
+    assert bidir_feasible(N, D, K, swar), (N, D, K)
+    kernel = functools.partial(
+        _bidir_kernel, dxs=tuple(dxs), p1=p1, p2_const=p2, n_real=n_real,
+        d_real=d_real, g_frame=G // frames, swar=swar)
+
+    def fwd(g):
+        return (g, 0, 0)
+
+    def rev(g):
+        return (G - 1 - g, 0, 0)
+
+    spec = functools.partial(pl.BlockSpec, (1, N, D),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[spec(fwd), spec(rev)],
+        out_specs=(spec(fwd), spec(rev)),
+        out_shape=(jax.ShapeDtypeStruct((T, N, D), jnp.int16),
+                   jax.ShapeDtypeStruct((T, N, D), jnp.int16)),
+        scratch_shapes=[pltpu.VMEM((2 * K, N // 2 if swar else N, D),
+                                   jnp.int32)],
+        interpret=interpret,
+    )(C, C)
 
 
 # ---------------------------------------------------------------------------
@@ -881,7 +1022,8 @@ def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     # path; the fwd sweep absorbs the two partial volumes. Wide volumes
     # (true-Middlebury W) exceed the R=4 VMEM budget; they keep the
     # chained sweeps + external tile-transpose.
-    from tpustereo.kernels.transpose_pallas import transpose_hw_pallas
+    from tpustereo.kernels.transpose_pallas import (transpose_hw_pallas,
+                                                    transpose_sum_hw_pallas)
     fuse_t = EMIT_TRANSPOSED and emit_transposed_feasible(
         C.shape[0], Wq, Dp, len(dxs_v), frames)
     down_p2 = _p2_stack(img, down, cfg, False, Hp, Wq)
@@ -891,6 +1033,14 @@ def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
                     p2_maps=down_p2),
               sweep(C, None, dxs_v, True, emit_transposed=True,
                     p2_maps=up_p2))
+    elif (BIDIR_VERT and not cfg.adaptive_p2
+          and bidir_feasible(Wq, Dp, len(dxs_v),
+                             SWEEP_SWAR and Wq % 16 == 0
+                             and cfg.p1 + cfg.p2 + 256 < _BIG16)):
+        Sd, Su = sgm_sweep_bidir(C, dxs_v, cfg.p1, cfg.p2, W, D,
+                                 frames=frames, interpret=interpret)
+        St = transpose_sum_hw_pallas(Sd, Su, interpret=interpret,
+                                     trim=False)
     else:
         S = sweep(C, None, dxs_v, False, p2_maps=down_p2)
         S = sweep(C, S, dxs_v, True, p2_maps=up_p2)

@@ -26,6 +26,38 @@ def _kernel(in_ref, out_ref):
     out_ref[...] = jnp.swapaxes(in_ref[...], 0, 1)
 
 
+def _kernel_sum(a_ref, b_ref, out_ref):
+    out_ref[...] = jnp.swapaxes(a_ref[...] + b_ref[...], 0, 1)
+
+
+def transpose_sum_hw_pallas(a: jnp.ndarray, b: jnp.ndarray,
+                            interpret: bool = False,
+                            trim: bool = True, th: int = _TH) -> jnp.ndarray:
+    """(a + b) transposed (H, W, D) -> (W, H, D) in one pass: the add rides
+    the transpose's tile traffic (2 reads + 1 write vs 3R+2W for a
+    separate XLA add), which is what keeps the bidirectional sweep's two
+    emitted volumes HBM-neutral vs the sequential absorb-in-place path
+    (kernels.sgm_pallas.sgm_sweep_bidir). int16 adds are a proven Mosaic
+    idiom (the sweeps' S accumulation)."""
+    H, W, D = a.shape
+    assert a.shape == b.shape and a.dtype == b.dtype
+    Hp, Wp = _round_up(H, th), _round_up(W, _TW)
+    pad = ((0, Hp - H), (0, Wp - W), (0, 0))
+    ap, bp = jnp.pad(a, pad), jnp.pad(b, pad)
+    spec = pl.BlockSpec((th, _TW, D), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _kernel_sum,
+        grid=(Hp // th, Wp // _TW),
+        in_specs=[spec, spec],
+        out_specs=pl.BlockSpec((_TW, th, D), lambda i, j: (j, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Wp, Hp, D), a.dtype),
+        interpret=interpret,
+    )(ap, bp)
+    return out[:W, :H] if trim else out
+
+
 def transpose_hw_pallas(x: jnp.ndarray, interpret: bool = False,
                         trim: bool = True, th: int = _TH) -> jnp.ndarray:
     """x: (H, W, D) -> (W, H, D); D a multiple of 128. Pads internally for
