@@ -65,6 +65,18 @@ def main():
         L, R, out = run(PRESETS["middlebury_census_wta"], (375, 621),
                         25.0, 0.03, 4)
         data = {"L": L, "R": R, "out": out}
+    elif case == "mindisp":
+        # min_disparity > 0 through the fused path (r4): KITTI geometry,
+        # search window [16, 144)
+        L, R, out = run(k1.replace(min_disparity=16), (375, 1242),
+                        45.0, 0.03, 12)
+        data = {"L": L, "R": R, "out": out}
+    elif case == "d256":
+        # D = 256 (two 128-lane blocks) at KITTI geometry; disparity
+        # content spans past 128 so the upper lane block decides pixels
+        L, R, out = run(k1.replace(num_disparities=256), (375, 1242),
+                        150.0, 0.05, 13)
+        data = {"L": L, "R": R, "out": out}
     else:
         raise SystemExit(f"unknown case {case}")
     np.savez_compressed(out_path, **data)

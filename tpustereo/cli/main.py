@@ -211,10 +211,19 @@ def cmd_odometry(args) -> int:
         print(f"frame {i}: t=({pose[0,3]:+.3f}, {pose[1,3]:+.3f}, {pose[2,3]:+.3f})",
               file=sys.stderr)
     traj = odo.trajectory()
+    if args.gt_poses:
+        gt = np.loadtxt(args.gt_poses).reshape(-1, 3, 4)
+        gt = np.concatenate([gt, np.tile(np.array([[[0., 0., 0., 1.]]]),
+                                         (len(gt), 1, 1))], axis=1)
+        gt = gt[:len(traj)]
     if gt is not None and len(traj) == len(gt):
+        from tpustereo.eval.metrics import ate, kitti_segment_errors, rpe
         err = np.linalg.norm(traj[:, :3, 3] - gt[:, :3, 3], axis=-1)
         print(f"vs ground truth: final error {err[-1]:.3f} m over "
               f"{np.linalg.norm(gt[-1, :3, 3]):.3f} m travelled")
+        report = {"ate": ate(traj, gt), "rpe_1": rpe(traj, gt, delta=1),
+                  "kitti_segments": kitti_segment_errors(traj, gt)}
+        print(json.dumps(report, indent=2))
     if args.out:
         np.savetxt(args.out, traj[:, :3, :].reshape(len(traj), 12), fmt="%.6e")
         print(f"wrote {args.out} (KITTI pose format, {len(traj)} frames)")
@@ -279,6 +288,10 @@ def main(argv=None) -> int:
     o.add_argument("--sequence", default="00")
     o.add_argument("--max-frames", type=int)
     o.add_argument("--out", help="trajectory output (KITTI 12-value pose rows)")
+    o.add_argument("--gt-poses", help="ground-truth poses file (KITTI "
+                   "12-value rows) for ATE/RPE evaluation; synthetic "
+                   "sequences evaluate against their analytic poses "
+                   "automatically")
     o.add_argument("--checkpoint", help="checkpoint .npz path (SURVEY.md §5.4)")
     o.add_argument("--checkpoint-every", type=int, default=5)
     o.add_argument("--resume", action="store_true")

@@ -1,1 +1,2 @@
-from tpustereo.eval.metrics import d1_all, bad, end_point_error  # noqa: F401
+from tpustereo.eval.metrics import (ate, bad, d1_all, end_point_error,  # noqa: F401
+                                    kitti_segment_errors, rpe)
