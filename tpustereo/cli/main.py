@@ -127,7 +127,7 @@ def cmd_bench(args) -> int:
         from tpustereo.eval.bench import run_odometry_benchmark
         record = run_odometry_benchmark(
             cfg, shape=tuple(int(v) for v in args.shape.split("x")),
-            frames=max(args.batch, 1), iters=args.iters)
+            frames=max(args.batch, 1), iters=args.iters, tiled=args.tiled)
         print(json.dumps(record, indent=2))
         if args.record:
             with open(args.record, "a") as f:

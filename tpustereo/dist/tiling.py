@@ -380,7 +380,7 @@ def _sgbm_strip(left_loc, right_loc, cfg: Config, n_real: int):
     from tpustereo.utils.backend import pallas_mode
     mode = pallas_mode(cfg)
     fused_ok = (cfg.mode == "sgm" and mode != "off"
-                and cfg.census_bits <= 64 and cfg.num_disparities <= 256
+                and cfg.census_bits <= 64 and cfg.num_disparities <= 512
                 and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096)
     if fused_ok and cfg.exact_tiling:
         disp, valid, hits = _sgbm_strip_exact_fused(

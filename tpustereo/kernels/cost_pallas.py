@@ -202,7 +202,7 @@ def census_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
     assert padded or frames == 1
     H, W = left.shape[-2:]
     Dp = _round_up(num_disp, 128)
-    assert Dp <= 256, "cost kernel supports D <= 256"
+    assert Dp <= 512, "cost kernel supports D <= 512"
     Wq = _round_up(W + 2 * rx, 128)
     # rows per grid step: the in-kernel (R, Wq, D) int32 shear/broadcast
     # temps dominate scoped VMEM. Calibration points: R=4 at Wq*Dp=1536*128

@@ -233,12 +233,23 @@ def bwd_wta_feasible(n_sublanes: int, D: int) -> bool:
 
 
 def _lane_bits(D: int) -> int:
-    """log2 of the (power-of-two, >= 128) minor-axis width: the roll-tree
-    depth. D = 256 runs the minor axis as two 128-lane vregs — multi-vreg
-    lane rolls are the proven idiom (the cost kernel's align roll covers
-    Wq ~ 1280), so the tree just gains a level (VERDICT r3 next #1)."""
-    assert D in (128, 256), D
-    return D.bit_length() - 1
+    """Roll-tree depth for a minor-axis width D (a multiple of 128, up to
+    512 = four lanes of vregs — multi-vreg lane rolls are the proven
+    idiom; the cost kernel's align roll covers Wq ~ 1280). ceil(log2 D)
+    levels: after level k every lane holds the min of a circular window
+    of 2^k lanes, and a window >= D covers all lanes (the wrap overlap is
+    harmless for idempotent min), so non-power-of-two widths (384) work
+    too (VERDICT r3 next #1)."""
+    assert D % 128 == 0 and 128 <= D <= 512, D
+    return (D - 1).bit_length()
+
+
+def _pack_shift(D: int) -> int:
+    """Bits reserved for the lane index in (value << ps) + lane packings.
+    8 for D <= 256 (the long-gated production packing, *256), widening to
+    9/10 for D = 384/512 — value headroom holds: S < 2^20 (the _BIGPACK
+    clamp) so packed < 2^30 < int32."""
+    return max(8, (D - 1).bit_length())
 
 
 def _min_lanes_full(x: jnp.ndarray) -> jnp.ndarray:
@@ -688,19 +699,20 @@ def _wta_from_S(S, amin, lane, D, d_real, cfg, mxu):
     """WTA + uniqueness + subpixel + incremental right-WTA step on one
     slab of COMPLETED S columns (M, D). Factored out of the kernel body so
     the SWAR path can run it once per row half (the WTA value packing
-    S*256+lane needs 19 bits, so WTA itself cannot ride 2x16 fields).
-    Returns (o1 (M, 1), deltas (M, 1), amin_next (M, D))."""
+    (S << ps) + lane needs 19+ bits, so WTA itself cannot ride 2x16
+    fields). Returns (o1 (M, 1), deltas (M, 1), amin_next (M, D))."""
     M = S.shape[0]
+    ps = _pack_shift(D)
     if d_real < D:
         S = jnp.where(lane >= d_real, _BIGPACK, S)
     else:
         # padded-lane L can reach ~2^24; clamp so packing cannot wrap
         S = jnp.minimum(S, _BIGPACK)
 
-    packed = S * 256 + lane
+    packed = (S << ps) + lane
     m = _min_lanes_full(packed)[:, :1]              # (M, 1)
-    best = m >> 8
-    d_int = m & 255
+    best = m >> ps
+    d_int = m & ((1 << ps) - 1)
     if mxu:
         ones = jnp.ones((D, 1), jnp.float32)
         one_hot = lane == d_int
@@ -716,7 +728,7 @@ def _wta_from_S(S, amin, lane, D, d_real, cfg, mxu):
         cnt = jnp.dot(jnp.where(viol, 1.0, 0.0), ones)
         valid &= cnt == 0.0
     elif cfg.uniqueness_ratio > 0:
-        masked = jnp.where(jnp.abs(lane - d_int) <= 1, _BIGPACK * 256, S)
+        masked = jnp.where(jnp.abs(lane - d_int) <= 1, _BIGPACK << ps, S)
         second = _min_lanes_full(masked)[:, :1]
         valid &= ~(second * 100 < best * (100 + cfg.uniqueness_ratio))
 
@@ -760,10 +772,10 @@ def _wta_from_S(S, amin, lane, D, d_real, cfg, mxu):
     # incremental right-view WTA: lane i of amin accumulates column
     # x-i's diagonal; lane 0 is complete at this step
     A = jnp.minimum(amin, packed)
-    d_r = A[:, 0:1] & 255
-    amin_next = jnp.where(lane == D - 1, _BIGPACK * 256,
+    d_r = A[:, 0:1] & ((1 << ps) - 1)
+    amin_next = jnp.where(lane == D - 1, _BIGPACK << ps,
                           _roll(A, -1, axis=1))
-    o1 = valid.astype(jnp.int32) * 65536 + d_int * 256 + d_r
+    o1 = (valid.astype(jnp.int32) << (2 * ps)) + (d_int << ps) + d_r
     return o1, deltas, amin_next
 
 
@@ -797,7 +809,8 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, d_real,
     @pl.when(t == 0)
     def _():
         carry_ref[...] = jnp.zeros(carry_ref.shape, jnp.int32)  # q-form
-        amin_ref[...] = jnp.full((N, D), _BIGPACK * 256, jnp.int32)
+        amin_ref[...] = jnp.full((N, D), _BIGPACK << _pack_shift(D),
+                                 jnp.int32)
 
     for j in range(R - 1, -1, -1):
         x = xb + j
@@ -945,9 +958,10 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
                         pltpu.VMEM((N, D), jnp.int32)],
         interpret=interpret,
     )(*operands)
-    valid = o1 >= 65536
-    d_int = (o1 >> 8) & 255
-    d_r = o1 & 255
+    ps = _pack_shift(D)
+    valid = o1 >= (1 << (2 * ps))
+    d_int = (o1 >> ps) & ((1 << ps) - 1)
+    d_r = o1 & ((1 << ps) - 1)
     # d_start added BEFORE the subpixel offset so the float add order
     # matches ops.wta exactly (float(d_int + d0) + offs — the other
     # association differs by 1 ULP)

@@ -74,9 +74,12 @@ def _shear(slab: jnp.ndarray, lane: jnp.ndarray, up: bool,
 
 def _kernel(s_ref, disp_ref, valid_ref, *, cfg: Config, w_real: int,
             d_real: int, mxu: bool):
+    from tpustereo.kernels.sgm_pallas import _pack_shift
     R, W, D = s_ref.shape
     d0 = cfg.min_disparity
     bits = (D - 1).bit_length()
+    ps = _pack_shift(D)
+    mask = (1 << ps) - 1
     s = s_ref[...].astype(jnp.int32)                    # (R, W, D)
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, W, D), 2)
     col = jax.lax.broadcasted_iota(jnp.int32, (R, W, 1), 1)
@@ -92,9 +95,9 @@ def _kernel(s_ref, disp_ref, valid_ref, *, cfg: Config, w_real: int,
         return jnp.dot(jnp.where(where_mask, values, 0).astype(jnp.float32),
                        ones, precision=hi).astype(jnp.int32)
 
-    m = _min_lanes_full(s * 256 + lane)[..., :1]        # (R, W, 1)
-    best = m >> 8
-    d_int = m & 255
+    m = _min_lanes_full((s << ps) + lane)[..., :1]      # (R, W, 1)
+    best = m >> ps
+    d_int = m & mask
 
     valid = col < w_real
     if cfg.uniqueness_ratio > 0 and mxu:
@@ -102,7 +105,7 @@ def _kernel(s_ref, disp_ref, valid_ref, *, cfg: Config, w_real: int,
                 & (s * 100 < best * (100 + cfg.uniqueness_ratio)))
         valid &= pick(1, viol) == 0
     elif cfg.uniqueness_ratio > 0:
-        masked = jnp.where(jnp.abs(lane - d_int) <= 1, _BIG * 256, s)
+        masked = jnp.where(jnp.abs(lane - d_int) <= 1, _BIG << ps, s)
         second = _min_lanes_full(masked)[..., :1]
         valid &= ~(second * 100 < best * (100 + cfg.uniqueness_ratio))
 
@@ -117,9 +120,9 @@ def _kernel(s_ref, disp_ref, valid_ref, *, cfg: Config, w_real: int,
             sp = pick(s, lane == dp)
         else:
             sm = _min_lanes_full(jnp.where(lane == dm, s,
-                                           _BIG * 256))[..., :1]
+                                           _BIG << ps))[..., :1]
             sp = _min_lanes_full(jnp.where(lane == dp, s,
-                                           _BIG * 256))[..., :1]
+                                           _BIG << ps))[..., :1]
         smf, spf = sm.astype(jnp.float32), sp.astype(jnp.float32)
         s0 = best.astype(jnp.float32)
         denom = smf - 2.0 * s0 + spf
@@ -135,8 +138,8 @@ def _kernel(s_ref, disp_ref, valid_ref, *, cfg: Config, w_real: int,
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (R, W, D), 1)
         diag = _shear(s, lane, up=True, bits=bits, extra=d0)
         diag = jnp.where(lane_w + lane + d0 > w_real - 1, _BIG, diag)
-        mr = _min_lanes_full(diag * 256 + lane)[..., :1]
-        d_r = mr & 255                                   # (R, W, 1)
+        mr = _min_lanes_full((diag << ps) + lane)[..., :1]
+        d_r = mr & mask                                  # (R, W, 1)
         # d_R at x - d_L = x - d0 - j_L via down-shear of the broadcast
         # d_R column; out-of-image (x - d_L < 0) fails the check exactly
         # like the jnp fallback's _BIG fill
@@ -190,7 +193,9 @@ def wta_lr_pallas(S: jnp.ndarray, cfg: Config, interpret: bool = False,
         Sp = S
 
     from tpustereo.kernels import sgm_pallas
-    rows = _ROWS if Wp <= 2048 else 1   # int32 shear temps scale with R*Wp
+    # int32 shear temps scale with R*Wp*Dp: keep R*Wp*(Dp/128) at the
+    # proven 2x2048 budget (D > 128 volumes take single-row steps)
+    rows = _ROWS if Wp * (Dp // 128) <= 2048 else 1
     kernel = functools.partial(_kernel, cfg=cfg, w_real=W, d_real=D,
                                mxu=sgm_pallas.MXU_REFINE)
     G = frames * Hp // rows

@@ -47,7 +47,7 @@ def sgbm_volume(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
     mode = _pallas_mode(cfg)
     interp = mode == "interpret"
     if (mode != "off" and cfg.census_bits <= 64
-            and cfg.num_disparities <= 256):
+            and cfg.num_disparities <= 512):
         from tpustereo.kernels import census_cost_volume_pallas
         C = census_cost_volume_pallas(left, right, cfg.num_disparities,
                                       cfg.max_census_cost, cfg.census_window,
@@ -71,9 +71,9 @@ def sgbm_volume(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
 def _select_and_refine(S: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     mode = _pallas_mode(cfg)
     # SAD volumes can exceed int16 at large blocks; the kernel packs *256,
-    # so D <= 256 keeps the lane byte exact (min_disparity rides the
+    # so D <= 512 keeps the lane field exact (min_disparity rides the
     # kernel's constant shear rolls)
-    if (mode != "off" and cfg.num_disparities <= 256
+    if (mode != "off" and cfg.num_disparities <= 512
             and (cfg.mode != "sad" or cfg.sad_block <= 11)):
         from tpustereo.kernels import wta_lr_pallas
         disp, valid = wta_lr_pallas(S, cfg, interpret=(mode == "interpret"))
@@ -139,7 +139,7 @@ def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """Single-pair pipeline: (H, W) uint8 ×2 -> (H, W) float32 disparity."""
     mode = _pallas_mode(cfg)
     if (cfg.mode == "census_wta" and mode != "off" and cfg.census_bits <= 64
-            and cfg.num_disparities <= 256
+            and cfg.num_disparities <= 512
             and cfg.fill_mode != "hirschmuller"):
         # (hirschmuller fill needs d_R / the hits map, which this fused
         # path never materialises — that rare combination takes the
@@ -158,12 +158,12 @@ def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
                                     dims=(H, W, cfg.num_disparities))
         return _postproc(disp, valid, cfg)
     # kernel preconditions: census fits two uint32 planes; the packed-argmin
-    # and log-shear tricks assume D <= 256 lanes (the WTA packing's lane
-    # byte); the 12-bit parabola-delta packing assumes S_max =
+    # and log-shear tricks assume D <= 512 lanes (the WTA pack shift
+    # widens with D); the 12-bit parabola-delta packing assumes S_max =
     # paths*(C_max+P2) < 4096. min_disparity rides the cost kernel's
     # constant shear roll — the sweeps/WTA are disparity-index based.
     if (cfg.mode == "sgm" and mode != "off" and cfg.census_bits <= 64
-            and cfg.num_disparities <= 256
+            and cfg.num_disparities <= 512
             and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096
             and _bwd_feasible(left.shape[-2], 1, cfg)):
         # fully fused kernel path: cost -> sweeps -> WTA without the
@@ -234,7 +234,7 @@ def sgbm_frames(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
     F, H, W = left.shape
     mode = _pallas_mode(cfg)
     if (F > 1 and cfg.mode == "census_wta" and mode != "off"
-            and cfg.census_bits <= 64 and cfg.num_disparities <= 256
+            and cfg.census_bits <= 64 and cfg.num_disparities <= 512
             and cfg.fill_mode != "hirschmuller"):
         # stacked analog of sgbm's fused census_wta path: the WTA kernel is
         # row-local, so F frames ride one cost + one WTA launch set
@@ -249,7 +249,7 @@ def sgbm_frames(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
                                     frames=F)
         return _postproc_frames(disp, valid, cfg, interp=interp)
     if (F > 1 and cfg.mode == "sgm" and mode != "off"
-            and cfg.census_bits <= 64 and cfg.num_disparities <= 256
+            and cfg.census_bits <= 64 and cfg.num_disparities <= 512
             and not cfg.adaptive_p2
             and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096
             and _bwd_feasible(H, F, cfg)):

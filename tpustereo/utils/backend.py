@@ -72,7 +72,7 @@ def guard_tpu_fallback(cfg: Config, stage: str) -> None:
         f"census={cfg.census_window}, paths={cfg.paths}, "
         f"p1/p2={cfg.p1}/{cfg.p2}, sad_block={cfg.sad_block}, "
         f"backend={cfg.backend!r}. Use a Pallas-gated operating point "
-        f"(D <= 256, paths*(census_bits+p2) < 4096), or set "
+        f"(D <= 512, paths*(census_bits+p2) < 4096), or set "
         f"{_UNSAFE_ENV}=1 to accept unverified results."
     )
     if os.environ.get(_UNSAFE_ENV) == "1":
