@@ -22,7 +22,7 @@ def main():
     import tpustereo
     tpustereo.enable_compilation_cache()
     from tpustereo.config import PRESETS
-    from tpustereo.eval.bench import run_benchmark
+    from tpustereo.eval.bench import BASELINE_FPS, run_benchmark
 
     # Config 4 IS the batched operating point (preset batch_size=4,
     # BASELINE.json "batched pairs"): frames stream back-to-back through one
@@ -35,12 +35,21 @@ def main():
     cfg = PRESETS["kitti_sgm8"]
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    record = run_benchmark(cfg, shape=(375, 1242), batch=batch, iters=iters)
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    # THREE timed-loop runs (compile is paid once): the headline is the
+    # mean with the spread recorded, not a single best reading
+    # (VERDICT r3 weak #2; the r31b discipline, now at the source)
+    records = [run_benchmark(cfg, shape=(375, 1242), batch=batch,
+                             iters=iters) for _ in range(max(1, runs))]
+    vals = sorted(r["value"] for r in records)
+    mean = sum(vals) / len(vals)
     print(json.dumps({
-        "metric": record["metric"],
-        "value": record["value"],
-        "unit": record["unit"],
-        "vs_baseline": record["vs_baseline"],
+        "metric": records[0]["metric"],
+        "value": round(mean, 3),
+        "unit": records[0]["unit"],
+        "vs_baseline": round(mean / BASELINE_FPS, 2),
+        "runs": len(vals),
+        "spread": [vals[0], vals[-1]],
     }))
 
 

@@ -77,6 +77,12 @@ def main():
         L, R, out = run(k1.replace(num_disparities=256), (375, 1242),
                         150.0, 0.05, 13)
         data = {"L": L, "R": R, "out": out}
+    elif case == "d512":
+        # D = 512 (four lane blocks, 9/10-bit pack shift); content past
+        # d = 256 so the upper blocks decide real pixels
+        L, R, out = run(k1.replace(num_disparities=512), (256, 960),
+                        300.0, 0.1, 14)
+        data = {"L": L, "R": R, "out": out}
     else:
         raise SystemExit(f"unknown case {case}")
     np.savez_compressed(out_path, **data)
