@@ -223,3 +223,22 @@ def test_tiled_exact_ring_min_disparity(pair, backend):
     assert ((ref >= 0) == (out >= 0)).all()
     sel = ref >= 0
     assert np.abs(ref - out)[sel].max() < 1e-5
+
+
+def test_tiled_sad_census_wta_pallas_matches_jnp(pair):
+    """The tiled census_wta strip body rides the fused cost+WTA kernels
+    and tiled SAD selection rides the WTA/LR kernel (TPU-first; no jnp
+    compute on the strip hot path) — bit-exact vs the jnp tiled twin,
+    incl. min_disparity."""
+    L, R, _, _ = pair
+    mesh = make_mesh(data=1, strip=4)
+    for mode in ("sad", "census_wta"):
+        for d0 in (0, 3):
+            cfg = Config(mode=mode, num_disparities=D, min_disparity=d0,
+                         disp12_max_diff=1, speckle_window_size=0,
+                         median_filter=False)
+            a = np.asarray(sgbm_tiled(jnp.asarray(L), jnp.asarray(R),
+                                      cfg.replace(backend="jnp"), mesh))
+            b = np.asarray(sgbm_tiled(jnp.asarray(L), jnp.asarray(R),
+                                      cfg.replace(backend="pallas"), mesh))
+            np.testing.assert_array_equal(a, b, err_msg=f"{mode} d0={d0}")

@@ -389,18 +389,52 @@ def _sgbm_strip(left_loc, right_loc, cfg: Config, n_real: int):
         disp, valid, hits = _sgbm_strip_fused(left_loc, right_loc, cfg,
                                               n_real,
                                               interp=(mode == "interpret"))
+    elif (cfg.mode == "census_wta" and mode != "off"
+          and cfg.census_bits <= 64 and cfg.num_disparities <= 512
+          and cfg.fill_mode != "hirschmuller"):
+        # census+WTA is fully row-local past the census margin, so the
+        # strip body is the untiled fused path on a ry-extended strip —
+        # TPU-first like the untiled config 2 (no jnp cost volume)
+        from tpustereo.kernels import census_cost_volume_pallas, wta_lr_pallas
+        interp = mode == "interpret"
+        ry = cfg.census_window[0] // 2
+        ext_l = halo_exchange(left_loc, ry)
+        ext_r = halo_exchange(right_loc, ry)
+        He, W = ext_l.shape
+        C = census_cost_volume_pallas(ext_l, ext_r, cfg.num_disparities,
+                                      cfg.max_census_cost,
+                                      cfg.census_window, interpret=interp,
+                                      padded=True,
+                                      d_start=cfg.min_disparity)
+        disp_e, valid_e = wta_lr_pallas(C, cfg, interpret=interp,
+                                        dims=(He, W, cfg.num_disparities))
+        disp, valid = disp_e[ry:He - ry], valid_e[ry:He - ry]
+        hits = None
     else:
         if cfg.mode != "sad":  # jnp SAD volume is verified on-chip (r31)
             from tpustereo.utils.backend import guard_tpu_fallback
             guard_tpu_fallback(cfg, "tiled volume/wta")
         S = _volume_local(left_loc, right_loc, cfg, n_real)
-        disp, d_int, valid = wta(S, cfg)
-        valid &= lr_check(S, disp, cfg)
-        if cfg.fill_mode == "hirschmuller":
-            from tpustereo.ops import lr_hits_from_volume
-            hits = lr_hits_from_volume(S, cfg)
-        else:
+        if (mode != "off" and cfg.num_disparities <= 512
+                and (cfg.mode != "sad" or cfg.sad_block <= 11)
+                and cfg.fill_mode != "hirschmuller"):
+            # selection rides the fused WTA/LR kernel (as the untiled
+            # _select_and_refine) — the r31-verified config-1 composition
+            from tpustereo.kernels import wta_lr_pallas
+            disp, valid = wta_lr_pallas(S, cfg,
+                                        interpret=(mode == "interpret"))
             hits = None
+        else:
+            if cfg.mode == "sad":
+                from tpustereo.utils.backend import guard_tpu_fallback
+                guard_tpu_fallback(cfg, "tiled sad wta/lr_check")
+            disp, d_int, valid = wta(S, cfg)
+            valid &= lr_check(S, disp, cfg)
+            if cfg.fill_mode == "hirschmuller":
+                from tpustereo.ops import lr_hits_from_volume
+                hits = lr_hits_from_volume(S, cfg)
+            else:
+                hits = None
 
     full_disp = lax.all_gather(disp, AXIS, tiled=True)
     full_valid = lax.all_gather(valid, AXIS, tiled=True)
