@@ -34,10 +34,10 @@ def test_guard_refuses_forced_jnp_on_tpu(fake_tpu, tiny):
 
 
 def test_guard_refuses_offgate_config_on_tpu(fake_tpu, tiny):
-    # D = 512 falls off every Pallas gate -> jnp cost path -> refuse
-    # before any kernel or jnp compute is traced
+    # D = 1024 falls off every Pallas gate (the family covers <= 512) ->
+    # jnp cost path -> refuse before any kernel or jnp compute is traced
     l8, r8 = tiny
-    cfg = Config(num_disparities=512)
+    cfg = Config(num_disparities=1024)
     with pytest.raises(TPUFallbackError, match="census/cost_volume"):
         sgbm(l8, r8, cfg)
 
@@ -57,3 +57,16 @@ def test_guard_noop_on_cpu(tiny):
     cfg = Config(num_disparities=16, backend="jnp")
     out = np.asarray(sgbm(l8, r8, cfg))
     assert out.shape == (16, 32)
+
+
+def test_guard_refuses_offgate_tiled_on_tpu(fake_tpu):
+    """The tiled dispatch path refuses off-gate configs on TPU too."""
+    import jax.numpy as jnp2
+    from tpustereo.data.synthetic import synthetic_pair
+    from tpustereo.dist import make_mesh, sgbm_tiled
+    L, R, _, _ = synthetic_pair((16, 32), disparity=3.0, seed=2)
+    mesh = make_mesh(data=1, strip=2)
+    cfg = Config(mode="sgm", num_disparities=1024,  # off every gate
+                 speckle_window_size=0, median_filter=False)
+    with pytest.raises(TPUFallbackError, match="tiled"):
+        sgbm_tiled(jnp.asarray(L), jnp.asarray(R), cfg, mesh)

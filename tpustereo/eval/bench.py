@@ -70,12 +70,14 @@ def stage_times(left, right, cfg: Config, iters: int = 5) -> Dict[str, float]:
     mode = _pallas_mode(cfg)
     # same census gate as pipeline/sgbm.py so the profile measures the path
     # the production pipeline actually runs (<= 64 bits, two uint32 planes)
-    if mode != "off" and cfg.census_bits <= 64:
+    if (mode != "off" and cfg.census_bits <= 64
+            and cfg.num_disparities <= 512):
         from tpustereo.kernels import census_cost_volume_pallas
         fused_cost = partial(census_cost_volume_pallas,
                              num_disp=cfg.num_disparities,
                              max_cost=cfg.max_census_cost,
                              window=cfg.census_window,
+                             d_start=cfg.min_disparity,
                              interpret=(mode == "interpret"))
         C = jax.jit(fused_cost)(l8, r8)
         ms["census+cost_volume(fused)"] = _timed_device_loop(
@@ -101,7 +103,8 @@ def stage_times(left, right, cfg: Config, iters: int = 5) -> Dict[str, float]:
                 lambda dr: dr_consistency_pallas(dr, disp,
                                                  cfg.num_disparities,
                                                  cfg.disp12_max_diff,
-                                                 interpret=interp),
+                                                 interpret=interp,
+                                                 d_start=cfg.min_disparity),
                 d_r, iters=n) * 1e3
     else:
         agg = partial(aggregate, cfg=cfg, img=l8)
