@@ -104,3 +104,22 @@ if __name__ == "__main__":
         print(f"wrote {PIN_PATH}: {vals}")
     else:
         print(__doc__)
+
+
+def test_kitti_segment_errors_synthetic_path():
+    """Segment errors on a long synthetic path: zero for a perfect
+    estimate; a constant 1%-scale drift in translation shows up as
+    ~1% t_err; too-short paths return NaN with n_segments=0."""
+    from tpustereo.eval.metrics import kitti_segment_errors
+    n = 1200
+    gt = np.tile(np.eye(4), (n, 1, 1))
+    gt[:, 0, 3] = np.arange(n) * 1.0          # 1 m per frame along +x
+    out = kitti_segment_errors(gt, gt)
+    assert out["n_segments"] > 0
+    assert out["t_err_pct"] == pytest.approx(0.0, abs=1e-9)
+    drift = gt.copy()
+    drift[:, 0, 3] *= 1.01                    # 1% scale drift
+    out = kitti_segment_errors(drift, gt)
+    assert out["t_err_pct"] == pytest.approx(1.0, rel=0.05)
+    short = kitti_segment_errors(gt[:50], gt[:50])
+    assert short["n_segments"] == 0 and np.isnan(short["t_err_pct"])
