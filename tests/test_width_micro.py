@@ -28,6 +28,17 @@ def test_swar_sweep_matches_v32(rng):
     assert (L32 == Ls).all()
 
 
+def test_bf16_sweep_matches_v32(rng):
+    """The bf16 step is exact while all values are integers <= 256:
+    renormalized carries <= c_max+p2, candidates <= c_max+p2+p1 (154 at
+    the KITTI penalties, 192 at 9x7 census — both probed)."""
+    for c_max in (25, 63):
+        C = jnp.asarray(rng.integers(0, c_max, (12, 16, 128)).astype(np.int8))
+        a = np.asarray(sweep_micro(C, "v32_i8", interpret=True))
+        b = np.asarray(sweep_micro(C, "bf16_i8", interpret=True))
+        assert (a == b).all()
+
+
 def test_roll_chain_is_pure_permutation(rng):
     from tpustereo.kernels.width_micro import roll_chain_micro
     x = jnp.asarray(rng.integers(0, 1000, (8, 128)).astype(np.int32))

@@ -16,8 +16,17 @@ Three variants of the same per-scanline recurrence work:
   int16 vs int32, measuring whether Mosaic runs int16 elementwise at 2x
   int32 throughput at all (the precondition for ANY future 16-bit path;
   rolls/reduces are 32-bit-only — CLAUDE.md platform rules).
+* `bf16` — the round-4 candidate: the recurrence's values are all
+  integers <= c_max + p2 + p1 (154 at the KITTI preset, 192 at 9x7
+  census), which bf16 represents EXACTLY (integers <= 256), so the whole
+  step can ride native bfloat16 — TPU-native 2-per-lane SIMD with 1-op
+  mins instead of the ~12-bit-op exact SWAR min, and no packing/seam
+  code at all (Mosaic owns the (8,128,2) packed layout). The open
+  questions this micro answers on chip: do bf16 lane rolls legalize
+  (int16 rolls did NOT, r1), at what cost, and does the end-to-end step
+  beat the shipped SWAR formulation.
 
-All values stay < 2^14 so both SWAR fields are borrow/sign-safe.
+All integer values stay < 2^14 so both SWAR fields are borrow/sign-safe.
 """
 
 from __future__ import annotations
@@ -67,6 +76,31 @@ def _sweep_step_swar(q, c, lane, D, p1, p2):
     return L - M, L
 
 
+# bf16 OOB sentinel: above any renormalized value (<= c_max+p2 <= 192 at
+# the gated presets) and sentinel+p1 <= 256 stays exactly representable
+_BF_BIG = 224.0
+
+
+def _sweep_step_bf16(q, c, lane, D, p1, p2):
+    """The axial SGM step on native bfloat16: every min is ONE vector op
+    (vs ~12 bit-ops for the exact SWAR int min) at 2 values per 32-bit
+    lane, with Mosaic owning the packed layout (no seam fixups). Exact
+    while all values are integers <= 256: renormalized carries are
+    <= c_max+p2, candidates <= c_max+p2+p1, L <= c_max+p2 — the pipeline
+    gate must enforce c_max+p2+p1 <= 256 - (256-_BF_BIG)."""
+    up = pltpu.roll(q, D - 1, axis=1)
+    up = jnp.where(lane == D - 1, jnp.bfloat16(_BF_BIG), up)
+    dn = pltpu.roll(q, 1, axis=1)
+    dn = jnp.where(lane == 0, jnp.bfloat16(_BF_BIG), dn)
+    cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn)
+                                   + jnp.bfloat16(p1)), jnp.bfloat16(p2))
+    L = c + cand
+    M = L
+    for b in range(7):
+        M = jnp.minimum(M, pltpu.roll(M, 1 << b, axis=1))
+    return L - M, L
+
+
 def _kernel(c_ref, out_ref, carry_ref, *, mode, p1, p2, R):
     t = pl.program_id(0)
     N, D = carry_ref.shape
@@ -97,11 +131,17 @@ def _kernel_i8(c_ref, out_ref, carry_ref, *, mode, p1, p2, R):
 
     @pl.when(t == 0)
     def _():
-        carry_ref[...] = jnp.zeros(carry_ref.shape, jnp.int32)
+        carry_ref[...] = jnp.zeros(carry_ref.shape, carry_ref.dtype)
 
     for j in range(R):
         c = c_ref[j].astype(jnp.int32)
-        if mode == "swar_i8":
+        if mode == "bf16_i8":
+            lane = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
+            cb = c.astype(jnp.bfloat16)  # int32 -> bf16 (values <= 24)
+            q, L = _sweep_step_bf16(carry_ref[...], cb, lane, D, p1, p2)
+            carry_ref[...] = q
+            out_ref[j] = L.astype(jnp.int32).astype(jnp.int16)
+        elif mode == "swar_i8":
             H = N // 2
             lane = jax.lax.broadcasted_iota(jnp.int32, (H, D), 1)
             # shifts, not *65536: in-kernel int32 vector multiply is not
@@ -126,9 +166,10 @@ def sweep_micro(C: jnp.ndarray, mode: str, p1: int = 10, p2: int = 120,
     mode='v32': C int32 values; mode='swar': C packed 2x16 int32 (caller
     packs two rows per lane: C_packed = C_even * 65536 + C_odd with half
     the N). Returns the per-step L volume (int32).
-    mode='v32_i8'/'swar_i8': C int8 (production cost dtype), S int16 out;
-    swar packs/unpacks in-kernel (halves pairing), so both variants move
-    identical HBM bytes and the timing difference is pure compute."""
+    mode='v32_i8'/'swar_i8'/'bf16_i8': C int8 (production cost dtype),
+    S int16 out; swar packs/unpacks in-kernel (halves pairing) and bf16
+    converts in-kernel, so all variants move identical HBM bytes and the
+    timing difference is pure compute."""
     T, N, D = C.shape
     assert D == 128 and N % 8 == 0
     if mode == "swar_i8":
@@ -136,9 +177,10 @@ def sweep_micro(C: jnp.ndarray, mode: str, p1: int = 10, p2: int = 120,
         # 8-aligned, or Mosaic reads wrong data silently (CLAUDE.md);
         # mode='swar' takes pre-packed input and never slices halves
         assert N % 16 == 0, N
-    if mode in ("v32_i8", "swar_i8"):
+    if mode in ("v32_i8", "swar_i8", "bf16_i8"):
         kernel = functools.partial(_kernel_i8, mode=mode, p1=p1, p2=p2, R=1)
         Nc = N // 2 if mode == "swar_i8" else N
+        cdt = jnp.bfloat16 if mode == "bf16_i8" else jnp.int32
         return pl.pallas_call(
             kernel,
             grid=(T,),
@@ -147,7 +189,7 @@ def sweep_micro(C: jnp.ndarray, mode: str, p1: int = 10, p2: int = 120,
             out_specs=pl.BlockSpec((1, N, D), lambda t: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((T, N, D), jnp.int16),
-            scratch_shapes=[pltpu.VMEM((Nc, D), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((Nc, D), cdt)],
             interpret=interpret,
         )(C.astype(jnp.int8))
     kernel = functools.partial(_kernel, mode=mode, p1=p1, p2=p2, R=1)
@@ -189,21 +231,23 @@ def elem_chain_micro(x: jnp.ndarray, chain: int = 32,
     )(x)
 
 
-def _roll_kernel(x_ref, out_ref, *, chain):
+def _roll_kernel(x_ref, out_ref, *, chain, axis):
     v = x_ref[...]
     for i in range(chain):
-        v = pltpu.roll(v, 1 + (i & 1), axis=1)  # data-dependent chain
+        v = pltpu.roll(v, 1 + (i & 1), axis=axis)  # data-dependent chain
     out_ref[...] = v
 
 
 def roll_chain_micro(x: jnp.ndarray, chain: int = 32,
-                     interpret: bool = False) -> jnp.ndarray:
-    """Dependent chain of lane rolls — measures the cross-lane op
-    throughput that the roofline's roll-penalized ceiling assumes. Compare
+                     interpret: bool = False, axis: int = 1) -> jnp.ndarray:
+    """Dependent chain of rolls (axis=1 lanes, axis=0 sublanes) — measures
+    the cross-lane op throughput that the roofline's roll-penalized
+    ceiling assumes, on x's dtype (int32 shipped; bf16 probes whether
+    16-bit rolls legalize at all — int16 ones did not, r1). Compare
     against `elem_chain_micro` (same shape, same chain length) to get the
     measured roll:ALU cost ratio."""
     N, D = x.shape
-    kernel = functools.partial(_roll_kernel, chain=chain)
+    kernel = functools.partial(_roll_kernel, chain=chain, axis=axis)
     return pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec((N, D), lambda: (0, 0),
