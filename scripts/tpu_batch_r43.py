@@ -94,6 +94,47 @@ def main():
     except Exception as e:
         rec("error/width_bf16", repr(e)[:400]); traceback.print_exc()
 
+    # f) full-kernel integration (SWEEP_BF16 branch landed in sgm_pallas,
+    # interpret-exact): exactness vs CPU refs, then the judged-composition
+    # A/B. Runs regardless of the micro outcomes — a compile failure here
+    # is itself the answer (recorded, not fatal).
+    import tpustereo.kernels.sgm_pallas as sp
+    from tpustereo.config import PRESETS
+    from tpustereo.pipeline.sgbm import sgbm
+    from tpustereo.eval.bench import run_benchmark
+    k1 = PRESETS["kitti_sgm8"].replace(frames_per_step=1)
+    try:
+        sp.SWEEP_BF16 = True
+        jax.clear_caches()
+        for name, npz in (("bf16_small", "/tmp/r29_refs/small.npz"),):
+            r = np.load(npz)
+            got = np.asarray(sgbm(jnp.asarray(r["L"]), jnp.asarray(r["R"]),
+                                  k1)).astype(np.float64)
+            d = np.abs(got - r["out"])
+            rec(f"exact/{name}", {"max_abs": float(d.max()),
+                                  "n_mismatch": int((d > 1e-4).sum()),
+                                  "n_px": int(d.size)})
+        r = np.load("/tmp/r29_refs/kitti4.npz")
+        got = np.asarray(sgbm(jnp.asarray(r["L0"]), jnp.asarray(r["R0"]),
+                              k1)).astype(np.float64)
+        d = np.abs(got - r["out0"])
+        rec("exact/bf16_kitti_f0", {"max_abs": float(d.max()),
+                                    "n_mismatch": int((d > 1e-4).sum())})
+        if (d > 1e-4).sum() == 0:
+            rb = run_benchmark(PRESETS["kitti_sgm8"], shape=(375, 1242),
+                               batch=16, iters=20)
+            rec("bench/headline_bf16", {k: rb[k] for k in
+                                        ("value", "ms_per_frame")})
+            rb = run_benchmark(PRESETS["middlebury_sgm4"],
+                               shape=(375, 1242), batch=8, iters=20)
+            rec("bench/sgm4_bf16", {k: rb[k] for k in
+                                    ("value", "ms_per_frame")})
+    except Exception as e:
+        rec("error/bf16_full", repr(e)[:600]); traceback.print_exc()
+    finally:
+        sp.SWEEP_BF16 = False
+        jax.clear_caches()
+
     rec("total_wall_s", round(time.time() - t0, 1))
 
 if __name__ == "__main__":

@@ -606,6 +606,82 @@ def test_transpose_sum_matches_separate(rng):
     np.testing.assert_array_equal(ref, got)
 
 
+@pytest.mark.parametrize("d_real", [128, 64])
+def test_sweep_bf16_branch_parity(rng, d_real):
+    """SWEEP_BF16=True == the default branch on a mixed diagonal sweep
+    with scan-axis padding — the bf16 recurrence is exact while
+    c_max + p2 <= 255 (see _dir_step_bf16); padded disparity lanes may
+    differ between branches (different sentinels), so only the real slice
+    compares."""
+    import jax
+    import tpustereo.kernels.sgm_pallas as sp
+    C = jnp.asarray(rng.integers(0, 25, (16, 64, 128)).astype(np.int8))
+    outs = {}
+    for flag in (True, False):
+        old = sp.SWEEP_BF16
+        sp.SWEEP_BF16 = flag
+        jax.clear_caches()
+        try:
+            outs[flag] = np.asarray(sp.sgm_sweep(
+                C, None, (0, 1, -1), True, p1=10, p2=120, n_real=58,
+                d_real=d_real, c_max=24, interpret=True))
+        finally:
+            sp.SWEEP_BF16 = old
+            jax.clear_caches()
+    assert (outs[True][..., :d_real] == outs[False][..., :d_real]).all()
+
+
+def test_bwd_wta_bf16_branch_parity(rng):
+    """Pin the bwd+WTA kernel's bf16 branch against the default across
+    the uniqueness/subpixel matrix, with scan-axis padding (w_real < T)
+    exercising the state guard and d_real < D the padded-lane sentinel."""
+    import jax
+    import tpustereo.kernels.sgm_pallas as sp
+    T, N, D = 128, 32, 128
+    Ct = jnp.asarray(rng.integers(0, 25, (T, N, D)).astype(np.int8))
+    St = jnp.asarray(rng.integers(0, 500, (T, N, D)).astype(np.int16))
+    for d_real in (128, 64):
+        for cfg in (Config(num_disparities=d_real),
+                    Config(num_disparities=d_real, uniqueness_ratio=0,
+                           subpixel=False)):
+            outs = {}
+            for flag in (True, False):
+                old = sp.SWEEP_BF16
+                sp.SWEEP_BF16 = flag
+                jax.clear_caches()
+                try:
+                    outs[flag] = [np.asarray(v) for v in sp.sweep_bwd_wta(
+                        Ct, St, cfg, w_real=120, d_real=d_real,
+                        interpret=True)]
+                finally:
+                    sp.SWEEP_BF16 = old
+                    jax.clear_caches()
+            for a, b in zip(outs[True], outs[False]):
+                assert (a == b).all()
+
+
+def test_pipeline_bf16_sweeps_match_default(small_pair):
+    """Full fused pipeline with SWEEP_BF16=True == the SWAR default,
+    across 8/4-path and a 9x7 census (c_max=62: the largest gated
+    bound)."""
+    import jax
+    import tpustereo.kernels.sgm_pallas as sp
+    L, R, _, _ = small_pair
+    l8, r8 = jnp.asarray(L), jnp.asarray(R)
+    for kw in ({}, dict(paths=4, census_window=(9, 7))):
+        cfg = Config(num_disparities=32, backend="pallas", **kw)
+        ref = np.asarray(sgbm(l8, r8, cfg))
+        old = sp.SWEEP_BF16
+        sp.SWEEP_BF16 = True
+        jax.clear_caches()
+        try:
+            got = np.asarray(sgbm(l8, r8, cfg))
+        finally:
+            sp.SWEEP_BF16 = old
+            jax.clear_caches()
+        np.testing.assert_array_equal(ref, got)
+
+
 def test_pipeline_bidir_vert_matches_default(small_pair):
     """Full fused pipeline with BIDIR_VERT=True == the sequential-sweep
     default (the toggle changes scheduling, not math)."""

@@ -336,7 +336,7 @@ def _sgbm_strip_exact_fused(left_loc, right_loc, cfg: Config, n_real: int,
     St = transpose_hw_pallas(S, interpret=interp, trim=False)
     Tt, H8 = Ct.shape[0], Ct.shape[1]
     St = sgm_sweep(Ct, St, (0,), False, p1=cfg.p1, p2=cfg.p2, n_real=Hs,
-                   d_real=D, interpret=interp,
+                   d_real=D, interpret=interp, c_max=cfg.max_census_cost,
                    p2_maps=_p2_stack(left_loc, [(0, 1)], cfg, True, Tt, H8))
     p2b = _p2_stack(left_loc, [(0, -1)], cfg, True, Tt, H8)
     disp, valid, d_r = sweep_bwd_wta(Ct, St, cfg, w_real=W, d_real=D,

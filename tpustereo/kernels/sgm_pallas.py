@@ -78,6 +78,28 @@ BATCH_DIRS = False
 SWEEP_SWAR = True
 _BIG16 = 0x4000
 
+# Native-bfloat16 sweeps (round-4 candidate, width_micro 'bf16_i8'): every
+# value in the renormalized recurrence is an integer <= c_max + p2 (the
+# renorm subtract + P2 clip bound it), which bf16 represents EXACTLY when
+# c_max + p2 <= 255 (true at every gated preset: 144 KITTI, 182 at 9x7
+# census) — so the step can ride native bf16 SIMD: 2 values per 32-bit
+# lane with 1-op mins instead of the ~12-bit-op exact SWAR min, and
+# Mosaic owns the packed layout (no halves pairing, no seam fixups).
+# Candidate sums above 255 (real q + p1 past the clip) round, but any
+# such value exceeds the P2 clip, so the min is unaffected (rounding of
+# an integer > 256 stays >= 256 > p2). Per-direction L converts to int32
+# for the S accumulation (sums of K paths exceed 256). Takes precedence
+# over SWEEP_SWAR where its gate holds; needs the caller to pass the true
+# cost bound c_max (default 255 keeps it off). Toggle +
+# jax.clear_caches() for on-chip A/B.
+SWEEP_BF16 = False
+# Padded-lane / fresh-path sentinel: a power of two is exact in bf16, and
+# 16384's coarse rounding (spacing 128) keeps renormalized padded carries
+# >= ~16k — far above any real candidate — forever. (A small sentinel
+# like 256 would leak: q_pad = L_pad - min_d L can come within c_max+p2
+# of real values after one renorm.)
+_BF_BIG = 16384.0
+
 
 def _swar_min(a, b):
     """Per-16-bit-field min of packed int32 lanes; all fields in
@@ -165,6 +187,26 @@ def _dir_step_v32(q, c, dx, row_idx, lane_idx, n_real, D, p1, p2):
     dn = _roll(q, 1, axis=1)
     dn = jnp.where(lane_idx == 0, _BIG, dn)
     cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn) + p1), p2)
+    L = c + cand
+    return L - _min_lanes_full(L), L
+
+
+def _dir_step_bf16(q, c, dx, row_idx, lane_idx, n_real, D, p1, p2):
+    """One direction's native-bfloat16 sweep step (see SWEEP_BF16):
+    structurally `_dir_step_v32` in bf16 — no packing, no seam fixups.
+    Exact while c_max + p2 <= 255 (integers <= 255 are exact in bf16 and
+    rounding past the P2 clip cannot change a min). Returns (q_next, L)
+    both bf16."""
+    if dx != 0:
+        q = _roll(q, dx, axis=0)
+        invalid = (row_idx < dx) | (row_idx >= n_real + dx)
+        q = jnp.where(invalid, jnp.bfloat16(0), q)
+    up = _roll(q, -1, axis=1)
+    up = jnp.where(lane_idx == D - 1, jnp.bfloat16(_BF_BIG), up)
+    dn = _roll(q, 1, axis=1)
+    dn = jnp.where(lane_idx == 0, jnp.bfloat16(_BF_BIG), dn)
+    cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn)
+                                   + jnp.bfloat16(p1)), jnp.bfloat16(p2))
     L = c + cand
     return L - _min_lanes_full(L), L
 
@@ -264,7 +306,7 @@ def _min_lanes_full(x: jnp.ndarray) -> jnp.ndarray:
 
 def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
                   n_s, has_p2m, has_init, has_fin, g_frame,
-                  emit_t=False, batch_k=False, swar=False):
+                  emit_t=False, batch_k=False, swar=False, bf16=False):
     """One grid step = R scanlines, walked serially in-register (reversed
     for reverse sweeps). rest = (*s_refs, [p2_ref], [init_ref], out_ref,
     [fin_ref], carry_ref) depending on flags; n_s S volumes (0-2) are
@@ -313,7 +355,7 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
         if init_ref is not None:
             carry_ref[...] = init_ref[...]
         else:
-            carry_ref[...] = jnp.zeros(carry_ref.shape, jnp.int32)
+            carry_ref[...] = jnp.zeros(carry_ref.shape, carry_ref.dtype)
 
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 0)
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
@@ -324,8 +366,30 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
     order = range(R - 1, -1, -1) if reverse else range(R)
     for j in order:
         c = c_ref[j].astype(jnp.int32)
-        if not swar and d_real < D:  # padded lanes act as +inf hypotheses
+        if not swar and not bf16 and d_real < D:
+            # padded lanes act as +inf hypotheses
             c = jnp.where(lane_idx >= d_real, _BIG, c)
+
+        if bf16:
+            # native-bf16 step (see SWEEP_BF16): costs <= c_max <= 255 are
+            # bf16-exact; S accumulates per direction in int32 (sums of K
+            # paths exceed bf16's exact-integer range)
+            cb = c.astype(jnp.bfloat16)
+            if d_real < D:
+                cb = jnp.where(lane_idx >= d_real, jnp.bfloat16(_BF_BIG),
+                               cb)
+            total = None
+            for k, dx in enumerate(dxs):
+                qn, L = _dir_step_bf16(carry_ref[k], cb, dx, row_idx,
+                                       lane_idx, n_real, D, p1, p2_const)
+                carry_ref[k] = qn
+                Li = L.astype(jnp.int32)
+                total = Li if total is None else total + Li
+            out = total.astype(jnp.int16)
+            for s_ref in s_refs:
+                out = out + s_ref[j]
+            out_ref[j] = out
+            continue
 
         if swar:
             # 2x16 halves-packed step (see SWEEP_SWAR): rows (i, i+N/2)
@@ -437,7 +501,8 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
               rows_per_step: int = 0,
               frames: int = 1,
               emit_transposed: bool = False,
-              interpret: bool = False):
+              interpret: bool = False,
+              c_max: int = 255):
     """One directional sweep over axis 0 of C (T, N, D) -> S (T, N, D) int16.
 
     dxs: in-carry sublane shift per fused direction (0 axial, ±1 diagonal).
@@ -465,6 +530,11 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     used by the vertical sweeps so the standalone S transpose disappears
     from the pipeline. Incompatible with the ring hand-off AND with S_in
     (VMEM: see emit_transposed_feasible).
+
+    c_max: upper bound on C's values — the exactness precondition for the
+    native-bf16 step (SWEEP_BF16 gates on c_max + p2 <= 255); pipeline
+    callers pass cfg.max_census_cost, the conservative default keeps
+    bf16 off.
     """
     T, N, D = C.shape
     K = len(dxs)
@@ -527,7 +597,16 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     # padded-lane carry field of ~_BIG16 + p2, and adding p1 must not push
     # it past 0x8000 (_swar_min's field precondition) — unreachable through
     # the pipeline gates, but sgm_sweep is callable directly (r3 advisor).
-    swar = (SWEEP_SWAR and p2_maps is None and init_carry is None
+    # bf16 gate (see SWEEP_BF16): exactness needs the true cost bound
+    # c_max (callers pass cfg.max_census_cost; the 255 default keeps bf16
+    # off for unknown-provenance volumes). Same structural exclusions as
+    # SWAR; takes precedence over it.
+    bf16 = (SWEEP_BF16 and p2_maps is None and init_carry is None
+            and not return_final_carry and not emit_transposed
+            and not (BATCH_DIRS and K > 1)
+            and N % 16 == 0 and c_max + p2 <= 255)
+    swar = (not bf16 and SWEEP_SWAR and p2_maps is None
+            and init_carry is None
             and not return_final_carry and not emit_transposed
             and not (BATCH_DIRS and K > 1)
             and N % 16 == 0 and p1 + p2 + 256 < _BIG16)
@@ -537,7 +616,8 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
         n_s=len(s_list), has_p2m=p2_maps is not None,
         has_init=init_carry is not None, has_fin=return_final_carry,
         g_frame=G // frames, emit_t=emit_transposed,
-        batch_k=BATCH_DIRS and K > 1 and p2_maps is None, swar=swar)
+        batch_k=BATCH_DIRS and K > 1 and p2_maps is None, swar=swar,
+        bf16=bf16)
 
     if emit_transposed:
         # rank-4 (N, G, R, D): R a whole array dim -> every block
@@ -562,7 +642,7 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((K, N // 2 if swar else N, D),
-                                   jnp.int32)],
+                                   jnp.bfloat16 if bf16 else jnp.int32)],
         input_output_aliases=aliases,
         interpret=interpret,
     )(*operands)
@@ -780,7 +860,7 @@ def _wta_from_S(S, amin, lane, D, d_real, cfg, mxu):
 
 
 def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, d_real,
-                    w_real, R, has_p2m, mxu, swar=False):
+                    w_real, R, has_p2m, mxu, swar=False, bf16=False):
     """Grid step g = columns x in [xb, xb+R), xb = (G-1-g)*R, walked in
     descending order: runs the W (backward-horizontal) SGM step, completes S
     for each column, and does WTA + uniqueness + subpixel immediately — S
@@ -808,7 +888,7 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, d_real,
 
     @pl.when(t == 0)
     def _():
-        carry_ref[...] = jnp.zeros(carry_ref.shape, jnp.int32)  # q-form
+        carry_ref[...] = jnp.zeros(carry_ref.shape, carry_ref.dtype)
         amin_ref[...] = jnp.full((N, D), _BIGPACK << _pack_shift(D),
                                  jnp.int32)
 
@@ -817,7 +897,24 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, d_real,
         c = c_ref[j].astype(jnp.int32)
         real = x < w_real  # scan axis may carry frame padding at the end
 
-        if swar:
+        if bf16:
+            # native-bf16 recurrence (see SWEEP_BF16); WTA runs at full
+            # width on the completed int32 S exactly as the v32 branch
+            # (the (S << ps) + lane packing needs 19+ bits either way)
+            cb = c.astype(jnp.bfloat16)
+            if d_real < D:
+                cb = jnp.where(lane >= d_real, jnp.bfloat16(_BF_BIG), cb)
+            qn, L = _dir_step_bf16(carry_ref[...], cb, 0, None, lane,
+                                   0, D, p1, p2_const)
+            S = s_ref[j].astype(jnp.int32) + L.astype(jnp.int32)
+            o1, deltas, amin_next = _wta_from_S(S, amin_ref[...], lane, D,
+                                                d_real, cfg, mxu)
+
+            @pl.when(real)  # padded trailing steps must not touch state
+            def _():
+                carry_ref[...] = qn
+                amin_ref[...] = amin_next
+        elif swar:
             # 2x16 halves-packed SGM recurrence (dx = 0: no seam/OOB
             # machinery needed — see _sweep_kernel); the WTA value packing
             # needs 19 bits, so WTA runs per unpacked half instead, with
@@ -936,15 +1033,18 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
                                      memory_space=pltpu.VMEM))
         operands.append(p2_maps)
 
-    # SWAR gate for the embedded SGM recurrence (same constraints as
-    # sgm_sweep incl. the p1 headroom term; dx = 0 so no seam/OOB
-    # machinery is involved)
-    swar = (SWEEP_SWAR and p2_maps is None
+    # bf16 / SWAR gates for the embedded SGM recurrence (same constraints
+    # as sgm_sweep; dx = 0 so no seam/OOB machinery is involved). The
+    # census bound is the true c_max here — Ct always comes from the cost
+    # kernel in this pipeline.
+    bf16 = (SWEEP_BF16 and p2_maps is None
+            and N % 16 == 0 and cfg.max_census_cost + cfg.p2 <= 255)
+    swar = (not bf16 and SWEEP_SWAR and p2_maps is None
             and N % 16 == 0 and cfg.p1 + cfg.p2 + 256 < _BIG16)
     kernel = functools.partial(
         _bwd_wta_kernel, cfg=cfg, p1=cfg.p1, p2_const=cfg.p2,
         d_real=d_real, w_real=w_real, R=R, has_p2m=p2_maps is not None,
-        mxu=MXU_REFINE, swar=swar)
+        mxu=MXU_REFINE, swar=swar, bf16=bf16)
 
     o1, o2 = pl.pallas_call(
         kernel,
@@ -954,7 +1054,8 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
                    pl.BlockSpec((N, 128), omap, memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((N, Wx), jnp.int32),
                    jax.ShapeDtypeStruct((N, Wx), jnp.int32)),
-        scratch_shapes=[pltpu.VMEM((N // 2 if swar else N, D), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((N // 2 if swar else N, D),
+                                   jnp.bfloat16 if bf16 else jnp.int32),
                         pltpu.VMEM((N, D), jnp.int32)],
         interpret=interpret,
     )(*operands)
@@ -1030,7 +1131,8 @@ def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     dxs_v = tuple(dx for _, dx in down)
 
     sweep = functools.partial(sgm_sweep, p1=cfg.p1, p2=cfg.p2, n_real=W,
-                              d_real=D, frames=frames, interpret=interpret)
+                              d_real=D, frames=frames, interpret=interpret,
+                              c_max=cfg.max_census_cost)
     # both vertical sweeps emit the horizontal-sweep layout directly
     # (rank-4 trick) — the standalone S transpose is gone from the hot
     # path; the fwd sweep absorbs the two partial volumes. Wide volumes
@@ -1069,7 +1171,8 @@ def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
         Ct = transpose_hw_pallas(C, interpret=interpret, trim=False)
     Tt, H8 = Ct.shape[0], Ct.shape[1]
     sweep_t = functools.partial(sgm_sweep, p1=cfg.p1, p2=cfg.p2, n_real=H,
-                                d_real=D, interpret=interpret)
+                                d_real=D, interpret=interpret,
+                                c_max=cfg.max_census_cost)
     St = sweep_t(Ct, St, (0,), False,
                  p2_maps=_p2_stack(img, [(0, 1)], cfg, True, Tt, H8))
     p2b = _p2_stack(img, [(0, -1)], cfg, True, Tt, H8)
@@ -1124,7 +1227,8 @@ def aggregate_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     # vertical + diagonal sweeps in (H, W, D)
     Cv = jnp.pad(C, ((0, Hp - H), (0, Wq - W), (0, Dp - D)))
     sweep = functools.partial(sgm_sweep, p1=p1, p2=p2, n_real=W, d_real=D,
-                              interpret=interpret)
+                              interpret=interpret,
+                              c_max=cfg.max_census_cost)
     # the vertical sweeps hand S to the horizontal layout directly when
     # the rank-4 emission fits VMEM (see sgm_select_pallas)
     from tpustereo.kernels.transpose_pallas import transpose_hw_pallas
@@ -1148,7 +1252,8 @@ def aggregate_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
     Ct = transpose_hw_pallas(Cv, interpret=interpret, trim=False)
     Tt, H8 = Ct.shape[0], Ct.shape[1]
     sweep_t = functools.partial(sgm_sweep, p1=p1, p2=p2, n_real=H, d_real=D,
-                                interpret=interpret)
+                                interpret=interpret,
+                                c_max=cfg.max_census_cost)
     St = sweep_t(Ct, St, (0,), False,
                  p2_maps=_p2_stack(img, [(0, 1)], cfg, True, Tt, H8))
     St = sweep_t(Ct, St, (0,), True,
