@@ -77,6 +77,13 @@ def main():
         L, R, out = run(k1.replace(num_disparities=256), (375, 1242),
                         150.0, 0.05, 13)
         data = {"L": L, "R": R, "out": out}
+    elif case == "census97":
+        # 9x7 census (62 bits, c_max = 62 — the largest gated cost bound;
+        # exercises the two-bitplane cost path + the bf16 gate's 62+120
+        # envelope) at KITTI geometry
+        L, R, out = run(k1.replace(census_window=(9, 7)), (375, 1242),
+                        35.0, 0.03, 15)
+        data = {"L": L, "R": R, "out": out}
     elif case == "d512":
         # D = 512 (four lane blocks, 9/10-bit pack shift); content past
         # d = 256 so the upper blocks decide real pixels

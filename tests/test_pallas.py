@@ -133,6 +133,7 @@ def test_fuzz_random_configs_pallas_vs_jnp(rng):
         cfg = Config(
             num_disparities=int(rng.choice([16, 32])),
             min_disparity=int(rng.choice([0, 3])),
+            census_window=(5, 5) if rng.integers(0, 2) else (7, 5),
             paths=int(rng.choice([4, 8])),
             p1=int(rng.integers(1, 20)),
             p2=int(rng.integers(40, 200)),
@@ -147,6 +148,21 @@ def test_fuzz_random_configs_pallas_vs_jnp(rng):
         a = np.asarray(sgbm(l8, r8, cfg.replace(backend="jnp")))
         b = np.asarray(sgbm(l8, r8, cfg.replace(backend="pallas")))
         np.testing.assert_array_equal(a, b, err_msg=f"cfg={cfg}")
+        if trial < 2:
+            # same config through the bf16 sweep branch (gated off for
+            # adaptive_p2 / c_max+p2 > 255 inside sgm_sweep — the fuzz
+            # then just re-exercises the default branch, still equal)
+            import jax
+            import tpustereo.kernels.sgm_pallas as sp
+            old = sp.SWEEP_BF16
+            sp.SWEEP_BF16 = True
+            jax.clear_caches()
+            try:
+                c = np.asarray(sgbm(l8, r8, cfg.replace(backend="pallas")))
+            finally:
+                sp.SWEEP_BF16 = old
+                jax.clear_caches()
+            np.testing.assert_array_equal(a, c, err_msg=f"bf16 cfg={cfg}")
 
 
 def test_census_cost_volume_pallas_two_planes(small_pair):
