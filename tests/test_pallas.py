@@ -647,6 +647,35 @@ def test_sweep_bf16_branch_parity(rng, d_real):
     assert (outs[True][..., :d_real] == outs[False][..., :d_real]).all()
 
 
+def test_sweep_bf16_ring_carry_parity(rng):
+    """bf16 sweeps with the exact ring hand-off: the int32 carry interface
+    converts at the kernel boundary (exact — every q value is an integer
+    <= c_max+p2). Split a sweep into two init/fin-chained halves under
+    each branch; both the outputs and the int32 fin slabs must match the
+    default branch bit-for-bit."""
+    import jax
+    import tpustereo.kernels.sgm_pallas as sp
+    C = jnp.asarray(rng.integers(0, 25, (16, 64, 128)).astype(np.int8))
+    outs = {}
+    for flag in (True, False):
+        old = sp.SWEEP_BF16
+        sp.SWEEP_BF16 = flag
+        jax.clear_caches()
+        try:
+            a, fin = sp.sgm_sweep(C[:8], None, (0,), False, p1=10, p2=120,
+                                  n_real=64, d_real=128, c_max=24,
+                                  return_final_carry=True, interpret=True)
+            b = sp.sgm_sweep(C[8:], None, (0,), False, p1=10, p2=120,
+                             n_real=64, d_real=128, c_max=24,
+                             init_carry=fin, interpret=True)
+            outs[flag] = (np.asarray(a), np.asarray(fin), np.asarray(b))
+        finally:
+            sp.SWEEP_BF16 = old
+            jax.clear_caches()
+    for x, y in zip(outs[True], outs[False]):
+        assert (x == y).all()
+
+
 def test_bwd_wta_bf16_branch_parity(rng):
     """Pin the bwd+WTA kernel's bf16 branch against the default across
     the uniqueness/subpixel matrix, with scan-axis padding (w_real < T)

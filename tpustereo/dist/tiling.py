@@ -269,7 +269,7 @@ def _ring_sweep_pallas(Cv, dxs, reverse: bool, cfg: Config, w_real: int,
         res, fin = sgm_sweep(Cv, None, dxs, reverse, p1=cfg.p1, p2=cfg.p2,
                              n_real=w_real, d_real=d_real, p2_maps=p2m,
                              init_carry=carry, return_final_carry=True,
-                             interpret=interp)
+                             interpret=interp, c_max=cfg.max_census_cost)
         turn = s if down else n - 1 - s
         mine = i == turn
         out = jnp.where(mine, res, out)

@@ -353,7 +353,11 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
     @pl.when(jax.lax.rem(t, g_frame) == 0)
     def _():
         if init_ref is not None:
-            carry_ref[...] = init_ref[...]
+            # ring hand-off slabs are int32 on the wire (ppermute between
+            # strips); the bf16 carry converts at the boundary — exact:
+            # real q <= c_max+p2 <= 255 and padded-lane sentinels are
+            # bf16-representable by construction
+            carry_ref[...] = init_ref[...].astype(carry_ref.dtype)
         else:
             carry_ref[...] = jnp.zeros(carry_ref.shape, carry_ref.dtype)
 
@@ -490,7 +494,7 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
     if fin_ref is not None:
         @pl.when(t == pl.num_programs(0) - 1)
         def _():
-            fin_ref[...] = carry_ref[...]
+            fin_ref[...] = carry_ref[...].astype(jnp.int32)
 
 
 def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
@@ -601,8 +605,8 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     # c_max (callers pass cfg.max_census_cost; the 255 default keeps bf16
     # off for unknown-provenance volumes). Same structural exclusions as
     # SWAR; takes precedence over it.
-    bf16 = (SWEEP_BF16 and p2_maps is None and init_carry is None
-            and not return_final_carry and not emit_transposed
+    bf16 = (SWEEP_BF16 and p2_maps is None
+            and not emit_transposed
             and not (BATCH_DIRS and K > 1)
             and N % 16 == 0 and c_max + p2 <= 255)
     swar = (not bf16 and SWEEP_SWAR and p2_maps is None
