@@ -191,24 +191,62 @@ def _dir_step_v32(q, c, dx, row_idx, lane_idx, n_real, D, p1, p2):
     return L - _min_lanes_full(L), L
 
 
+def _bf16_roll_lanes(x, shift):
+    """Lane roll of a bf16 slab via its int32 bit view. Mosaic does not
+    legalize 16-bit rolls (r43 on-chip probe — bf16 rolls fail on BOTH
+    axes, like int16 in r1); bf16 packs pairs of SUBLANES into 32-bit
+    words, so a 32-bit LANE roll moves both packed values exactly like a
+    bf16 lane roll would."""
+    xi = pltpu.bitcast(x, jnp.int32)
+    return pltpu.bitcast(_roll(xi, shift, axis=xi.ndim - 1), jnp.bfloat16)
+
+
+def _bf16_shift_rows(x, dx):
+    """Circular one-ROW (sublane) shift of a bf16 slab, dx in {+1, -1}.
+    The int32 bit view holds bf16 rows (2i -> lo 16 bits, 2i+1 -> hi) of
+    word row i (pltpu.bitcast packing order), so a one-row shift is a
+    one-WORD sublane roll + an hi/lo field swap. Field extraction uses
+    shifts and positive-constant masks only: every field is a
+    non-negative bf16 pattern (sign bit 0, so >> 16 is exact), and
+    negative-constant ANDs are forbidden (r30 Mosaic miscompile)."""
+    xi = pltpu.bitcast(x, jnp.int32)
+    if dx == 1:     # new row j = old row j-1
+        prev = _roll(xi, 1, axis=0)
+        out = (prev >> 16) | ((xi & 0xFFFF) << 16)
+    else:           # new row j = old row j+1
+        nxt = _roll(xi, -1, axis=0)
+        out = (xi >> 16) | ((nxt & 0xFFFF) << 16)
+    return pltpu.bitcast(out, jnp.bfloat16)
+
+
+def _bf16_tree_min(L):
+    """All-lanes min of a bf16 slab, replicated — the roll-tree of
+    _min_lanes_full with the rolls routed through the int32 bit view."""
+    for b in range(_lane_bits(L.shape[-1])):
+        L = jnp.minimum(L, _bf16_roll_lanes(L, 1 << b))
+    return L
+
+
 def _dir_step_bf16(q, c, dx, row_idx, lane_idx, n_real, D, p1, p2):
     """One direction's native-bfloat16 sweep step (see SWEEP_BF16):
-    structurally `_dir_step_v32` in bf16 — no packing, no seam fixups.
-    Exact while c_max + p2 <= 255 (integers <= 255 are exact in bf16 and
-    rounding past the P2 clip cannot change a min). Returns (q_next, L)
-    both bf16."""
+    structurally `_dir_step_v32` in bf16 — 1-op packed mins, no halves
+    pairing or seam fixups; only the rolls detour through the int32 bit
+    view (_bf16_roll_lanes/_bf16_shift_rows). Exact while
+    c_max + p2 <= 255 (integers <= 255 are exact in bf16 and rounding
+    past the P2 clip cannot change a min). Returns (q_next, L) both
+    bf16. row_idx/lane_idx are iotas of q's (full-row) shape."""
     if dx != 0:
-        q = _roll(q, dx, axis=0)
+        q = _bf16_shift_rows(q, dx)
         invalid = (row_idx < dx) | (row_idx >= n_real + dx)
         q = jnp.where(invalid, jnp.bfloat16(0), q)
-    up = _roll(q, -1, axis=1)
+    up = _bf16_roll_lanes(q, D - 1)
     up = jnp.where(lane_idx == D - 1, jnp.bfloat16(_BF_BIG), up)
-    dn = _roll(q, 1, axis=1)
+    dn = _bf16_roll_lanes(q, 1)
     dn = jnp.where(lane_idx == 0, jnp.bfloat16(_BF_BIG), dn)
     cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn)
                                    + jnp.bfloat16(p1)), jnp.bfloat16(p2))
     L = c + cand
-    return L - _min_lanes_full(L), L
+    return L - _bf16_tree_min(L), L
 
 
 # Bidirectional vertical sweeps: one kernel advances the down sweep at row

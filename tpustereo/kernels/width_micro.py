@@ -42,7 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 # kernel); importing them keeps this micro the on-chip exactness evidence
 # for exactly the code the sweeps run — a second copy could silently
 # diverge (e.g. miss a future Mosaic-workaround fix like r30's).
-from tpustereo.kernels.sgm_pallas import _BIG16, _swar_min  # noqa: E402
+from tpustereo.kernels.sgm_pallas import (_BIG16, _dir_step_bf16,  # noqa: E402
+                                          _swar_min)
 
 
 def _min_lanes_full(x):
@@ -73,31 +74,6 @@ def _sweep_step_swar(q, c, lane, D, p1, p2):
     M = L
     for b in range(7):
         M = _swar_min(M, pltpu.roll(M, 1 << b, axis=1))
-    return L - M, L
-
-
-# bf16 OOB sentinel: above any renormalized value (<= c_max+p2 <= 192 at
-# the gated presets) and sentinel+p1 <= 256 stays exactly representable
-_BF_BIG = 224.0
-
-
-def _sweep_step_bf16(q, c, lane, D, p1, p2):
-    """The axial SGM step on native bfloat16: every min is ONE vector op
-    (vs ~12 bit-ops for the exact SWAR int min) at 2 values per 32-bit
-    lane, with Mosaic owning the packed layout (no seam fixups). Exact
-    while all values are integers <= 256: renormalized carries are
-    <= c_max+p2, candidates <= c_max+p2+p1, L <= c_max+p2 — the pipeline
-    gate must enforce c_max+p2+p1 <= 256 - (256-_BF_BIG)."""
-    up = pltpu.roll(q, D - 1, axis=1)
-    up = jnp.where(lane == D - 1, jnp.bfloat16(_BF_BIG), up)
-    dn = pltpu.roll(q, 1, axis=1)
-    dn = jnp.where(lane == 0, jnp.bfloat16(_BF_BIG), dn)
-    cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn)
-                                   + jnp.bfloat16(p1)), jnp.bfloat16(p2))
-    L = c + cand
-    M = L
-    for b in range(7):
-        M = jnp.minimum(M, pltpu.roll(M, 1 << b, axis=1))
     return L - M, L
 
 
@@ -136,9 +112,12 @@ def _kernel_i8(c_ref, out_ref, carry_ref, *, mode, p1, p2, R):
     for j in range(R):
         c = c_ref[j].astype(jnp.int32)
         if mode == "bf16_i8":
+            # the PRODUCTION bf16 step (one copy of the bitcast-roll trick
+            # family — the r30f lesson), axial dx=0
             lane = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
             cb = c.astype(jnp.bfloat16)  # int32 -> bf16 (values <= 24)
-            q, L = _sweep_step_bf16(carry_ref[...], cb, lane, D, p1, p2)
+            q, L = _dir_step_bf16(carry_ref[...], cb, 0, None, lane,
+                                  0, D, p1, p2)
             carry_ref[...] = q
             out_ref[j] = L.astype(jnp.int32).astype(jnp.int16)
         elif mode == "swar_i8":
@@ -177,6 +156,8 @@ def sweep_micro(C: jnp.ndarray, mode: str, p1: int = 10, p2: int = 120,
         # 8-aligned, or Mosaic reads wrong data silently (CLAUDE.md);
         # mode='swar' takes pre-packed input and never slices halves
         assert N % 16 == 0, N
+    if mode == "bf16_i8":
+        assert N % 2 == 0, N  # the bitcast rolls pack sublane pairs
     if mode in ("v32_i8", "swar_i8", "bf16_i8"):
         kernel = functools.partial(_kernel_i8, mode=mode, p1=p1, p2=p2, R=1)
         Nc = N // 2 if mode == "swar_i8" else N
@@ -248,6 +229,34 @@ def roll_chain_micro(x: jnp.ndarray, chain: int = 32,
     measured roll:ALU cost ratio."""
     N, D = x.shape
     kernel = functools.partial(_roll_kernel, chain=chain, axis=axis)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec((N, D), lambda: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((N, D), lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, D), x.dtype),
+        interpret=interpret,
+    )(x)
+
+
+def _bc_roll_kernel(x_ref, out_ref, *, chain):
+    from tpustereo.kernels.sgm_pallas import _bf16_roll_lanes
+    v = x_ref[...]
+    for i in range(chain):
+        v = _bf16_roll_lanes(v, 1 + (i & 1))
+    out_ref[...] = v
+
+
+def bf16_roll_chain_micro(x: jnp.ndarray, chain: int = 32,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Dependent chain of bf16 lane rolls routed through the int32 bit
+    view (native bf16 rolls fail to legalize — r43): measures the
+    bitcast+roll+bitcast cost the production bf16 step pays per
+    cross-lane op. x: (N, D) bfloat16, N even."""
+    N, D = x.shape
+    assert N % 2 == 0
+    kernel = functools.partial(_bc_roll_kernel, chain=chain)
     return pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec((N, D), lambda: (0, 0),
