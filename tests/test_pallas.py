@@ -154,13 +154,13 @@ def test_fuzz_random_configs_pallas_vs_jnp(rng):
             # then just re-exercises the default branch, still equal)
             import jax
             import tpustereo.kernels.sgm_pallas as sp
-            old = sp.SWEEP_BF16
-            sp.SWEEP_BF16 = True
+            old = sp.SWEEP_BF16, sp.BWD_BF16
+            sp.SWEEP_BF16 = sp.BWD_BF16 = True
             jax.clear_caches()
             try:
                 c = np.asarray(sgbm(l8, r8, cfg.replace(backend="pallas")))
             finally:
-                sp.SWEEP_BF16 = old
+                sp.SWEEP_BF16, sp.BWD_BF16 = old
                 jax.clear_caches()
             np.testing.assert_array_equal(a, c, err_msg=f"bf16 cfg={cfg}")
 
@@ -691,15 +691,15 @@ def test_bwd_wta_bf16_branch_parity(rng):
                            subpixel=False)):
             outs = {}
             for flag in (True, False):
-                old = sp.SWEEP_BF16
-                sp.SWEEP_BF16 = flag
+                old = sp.BWD_BF16
+                sp.BWD_BF16 = flag
                 jax.clear_caches()
                 try:
                     outs[flag] = [np.asarray(v) for v in sp.sweep_bwd_wta(
                         Ct, St, cfg, w_real=120, d_real=d_real,
                         interpret=True)]
                 finally:
-                    sp.SWEEP_BF16 = old
+                    sp.BWD_BF16 = old
                     jax.clear_caches()
             for a, b in zip(outs[True], outs[False]):
                 assert (a == b).all()
@@ -716,13 +716,13 @@ def test_pipeline_bf16_sweeps_match_default(small_pair):
     for kw in ({}, dict(paths=4, census_window=(9, 7))):
         cfg = Config(num_disparities=32, backend="pallas", **kw)
         ref = np.asarray(sgbm(l8, r8, cfg))
-        old = sp.SWEEP_BF16
-        sp.SWEEP_BF16 = True
+        old = sp.SWEEP_BF16, sp.BWD_BF16
+        sp.SWEEP_BF16 = sp.BWD_BF16 = True
         jax.clear_caches()
         try:
             got = np.asarray(sgbm(l8, r8, cfg))
         finally:
-            sp.SWEEP_BF16 = old
+            sp.SWEEP_BF16, sp.BWD_BF16 = old
             jax.clear_caches()
         np.testing.assert_array_equal(ref, got)
 

@@ -93,6 +93,11 @@ _BIG16 = 0x4000
 # cost bound c_max (default 255 keeps it off). Toggle +
 # jax.clear_caches() for on-chip A/B.
 SWEEP_BF16 = False
+# The bwd+WTA kernel's embedded recurrence adopts bf16 INDEPENDENTLY of
+# the sweeps: the r43b full-pipeline A/B moved differently per kernel
+# family (headline +3% with everything bf16, sgm4 -8%), so the combo
+# space is toggled separately and measured.
+BWD_BF16 = False
 # Padded-lane / fresh-path sentinel: a power of two is exact in bf16, and
 # 16384's coarse rounding (spacing 128) keeps renormalized padded carries
 # >= ~16k — far above any real candidate — forever. (A small sentinel
@@ -220,18 +225,25 @@ def _bf16_shift_rows(x, dx):
 
 
 def _bf16_tree_min(L):
-    """All-lanes min of a bf16 slab, replicated — the roll-tree of
-    _min_lanes_full with the rolls routed through the int32 bit view."""
+    """All-lanes min of a NON-NEGATIVE bf16 slab, replicated. Positive
+    IEEE bit patterns are monotone in value, so the roll-tree runs
+    entirely on the int32 bit view with the exact SWAR field min — TWO
+    bitcasts total instead of two per level (bitcasts measured ~18x an
+    int32 roll on chip, r43b: the bf16 compute layout is physically
+    repacked each way). _swar_min's field precondition [0, 0x8000) holds:
+    the largest pattern is bf16(_BF_BIG) = 0x4680."""
+    Li = pltpu.bitcast(L, jnp.int32)
     for b in range(_lane_bits(L.shape[-1])):
-        L = jnp.minimum(L, _bf16_roll_lanes(L, 1 << b))
-    return L
+        Li = _swar_min(Li, _roll(Li, 1 << b, axis=1))
+    return pltpu.bitcast(Li, jnp.bfloat16)
 
 
 def _dir_step_bf16(q, c, dx, row_idx, lane_idx, n_real, D, p1, p2):
     """One direction's native-bfloat16 sweep step (see SWEEP_BF16):
     structurally `_dir_step_v32` in bf16 — 1-op packed mins, no halves
-    pairing or seam fixups; only the rolls detour through the int32 bit
-    view (_bf16_roll_lanes/_bf16_shift_rows). Exact while
+    pairing or seam fixups; rolls detour through the int32 bit view with
+    the per-step bitcast count kept minimal (5 axial / 7 diagonal —
+    bitcasts are the dominant overhead, r43b). Exact while
     c_max + p2 <= 255 (integers <= 255 are exact in bf16 and rounding
     past the P2 clip cannot change a min). Returns (q_next, L) both
     bf16. row_idx/lane_idx are iotas of q's (full-row) shape."""
@@ -239,9 +251,10 @@ def _dir_step_bf16(q, c, dx, row_idx, lane_idx, n_real, D, p1, p2):
         q = _bf16_shift_rows(q, dx)
         invalid = (row_idx < dx) | (row_idx >= n_real + dx)
         q = jnp.where(invalid, jnp.bfloat16(0), q)
-    up = _bf16_roll_lanes(q, D - 1)
+    qi = pltpu.bitcast(q, jnp.int32)  # shared by both neighbour rolls
+    up = pltpu.bitcast(_roll(qi, D - 1, axis=1), jnp.bfloat16)
     up = jnp.where(lane_idx == D - 1, jnp.bfloat16(_BF_BIG), up)
-    dn = _bf16_roll_lanes(q, 1)
+    dn = pltpu.bitcast(_roll(qi, 1, axis=1), jnp.bfloat16)
     dn = jnp.where(lane_idx == 0, jnp.bfloat16(_BF_BIG), dn)
     cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn)
                                    + jnp.bfloat16(p1)), jnp.bfloat16(p2))
@@ -1079,7 +1092,7 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
     # as sgm_sweep; dx = 0 so no seam/OOB machinery is involved). The
     # census bound is the true c_max here — Ct always comes from the cost
     # kernel in this pipeline.
-    bf16 = (SWEEP_BF16 and p2_maps is None
+    bf16 = (BWD_BF16 and p2_maps is None
             and N % 16 == 0 and cfg.max_census_cost + cfg.p2 <= 255)
     swar = (not bf16 and SWEEP_SWAR and p2_maps is None
             and N % 16 == 0 and cfg.p1 + cfg.p2 + 256 < _BIG16)
