@@ -225,17 +225,17 @@ def _bf16_shift_rows(x, dx):
 
 
 def _bf16_tree_min(L):
-    """All-lanes min of a NON-NEGATIVE bf16 slab, replicated. Positive
-    IEEE bit patterns are monotone in value, so the roll-tree runs
-    entirely on the int32 bit view with the exact SWAR field min — TWO
-    bitcasts total instead of two per level (bitcasts measured ~18x an
-    int32 roll on chip, r43b: the bf16 compute layout is physically
-    repacked each way). _swar_min's field precondition [0, 0x8000) holds:
-    the largest pattern is bf16(_BF_BIG) = 0x4680."""
-    Li = pltpu.bitcast(L, jnp.int32)
+    """All-lanes min of a bf16 slab, replicated: bf16 mins with the rolls
+    routed through the int32 bit view. An alternative that runs the whole
+    tree on the bit view with SWAR field mins (positive IEEE patterns are
+    monotone, 2 bitcasts total instead of 14) measured SLOWER end to end
+    (r43c: kitti8 75.0 vs 78.9 fps, sgm4 88.9 vs 90.5) — in the tree
+    context Mosaic schedules the per-level bitcasts far cheaper than the
+    dependent bitcast-roll chain micro suggested, while SWAR-min's 12
+    int32 ops are real work; so the 1-op bf16 min wins."""
     for b in range(_lane_bits(L.shape[-1])):
-        Li = _swar_min(Li, _roll(Li, 1 << b, axis=1))
-    return pltpu.bitcast(Li, jnp.bfloat16)
+        L = jnp.minimum(L, _bf16_roll_lanes(L, 1 << b))
+    return L
 
 
 def _dir_step_bf16(q, c, dx, row_idx, lane_idx, n_real, D, p1, p2):
