@@ -18,13 +18,15 @@ VPU ALUs like pure elementwise ops:
 * `uniform`  — every element-op retires at 4 lanes-slots/cycle (8x128x4
   ALUs): the optimistic VPU ceiling.
 * `roll_penalized` — cross-lane ops cost ROLL_PENALTY x an elementwise
-  op. The penalty was MEASURED on the dev chip (r29b issue probe,
-  scripts/tpu_r29b_results.json): a dependent roll chain costs 2.75x a
-  dependent ALU chain at 156-vreg width (3.11x at 1 vreg), so the
-  default is the measured 2.75.
+  op. r29b measured 2.75x from single-length dependent chains; r43b's
+  two-length differenced re-measurement showed that reading was ~all
+  harness floor (~2.4 ms/iteration regardless of op count) and rolls are
+  in fact NO more expensive than int32 elementwise ops — so the default
+  penalty is now 1.0 and the two ceilings coincide (the knob and record
+  field are kept for comparability with older records).
 
-The measured point landing between the two ceilings ⇒ VPU-issue-bound;
-far below both ⇒ something else (DMA, dependencies, overhead) binds.
+The measured point landing near the ceiling ⇒ VPU-issue-bound;
+far below ⇒ something else (DMA, dependencies, overhead) binds.
 """
 
 from __future__ import annotations
@@ -55,9 +57,17 @@ CHIPS: Dict[str, Dict[str, float]] = {
 }
 
 
-# Measured cross-lane (roll) vs elementwise op cost on the dev chip
-# (r29b: 2.75x wide / 3.11x narrow) — the penalized ceiling's factor.
-ROLL_PENALTY = 2.75
+# Measured cross-lane (roll) vs elementwise op cost on the dev chip.
+# HISTORY: r29b read 2.75x from dependent-chain probes at a single chain
+# length — r43b re-measured with TWO chain lengths differenced (the
+# ~2.4 ms/iteration harness floor cancels) and found the r29b reading was
+# ~all floor: marginal costs on a (1248, 128) slab are int32 ALU
+# 338 ns/op (includes a VMEM re-read per op), roll 89 ns/op — rolls are
+# NOT more expensive than elementwise int32 ops (ratio bounded <= 1), so
+# the penalized ceiling collapses onto the uniform one. Kept as a knob
+# with the corrected value 1.0; scripts/tpu_r43b_results.json holds the
+# marginals.
+ROLL_PENALTY = 1.0
 
 
 def chip_spec(device_kind: str) -> Tuple[str, Dict[str, float]]:
