@@ -706,25 +706,28 @@ def test_bwd_wta_bf16_branch_parity(rng):
 
 
 def test_pipeline_bf16_sweeps_match_default(small_pair):
-    """Full fused pipeline with SWEEP_BF16=True == the SWAR default,
-    across 8/4-path and a 9x7 census (c_max=62: the largest gated
-    bound)."""
+    """Full fused pipeline across the (SWEEP_BF16, BWD_BF16) combo space
+    produces identical outputs (explicit flag states, independent of the
+    shipped defaults), across 8/4-path and a 9x7 census (c_max=62: the
+    largest gated bound)."""
     import jax
     import tpustereo.kernels.sgm_pallas as sp
     L, R, _, _ = small_pair
     l8, r8 = jnp.asarray(L), jnp.asarray(R)
     for kw in ({}, dict(paths=4, census_window=(9, 7))):
         cfg = Config(num_disparities=32, backend="pallas", **kw)
-        ref = np.asarray(sgbm(l8, r8, cfg))
         old = sp.SWEEP_BF16, sp.BWD_BF16
-        sp.SWEEP_BF16 = sp.BWD_BF16 = True
-        jax.clear_caches()
+        outs = []
         try:
-            got = np.asarray(sgbm(l8, r8, cfg))
+            for flags in ((False, False), (True, False), (True, True)):
+                sp.SWEEP_BF16, sp.BWD_BF16 = flags
+                jax.clear_caches()
+                outs.append(np.asarray(sgbm(l8, r8, cfg)))
         finally:
             sp.SWEEP_BF16, sp.BWD_BF16 = old
             jax.clear_caches()
-        np.testing.assert_array_equal(ref, got)
+        for got in outs[1:]:
+            np.testing.assert_array_equal(outs[0], got)
 
 
 def test_pipeline_bidir_vert_matches_default(small_pair):

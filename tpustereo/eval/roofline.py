@@ -125,6 +125,25 @@ SWAR_STEP_OVERHEAD_OPS = 6.0
 # cost as the v32 WTA extras.
 BWD_EXTRA_OPS_SWAR, BWD_EXTRA_ROLLS_SWAR = 41, 17
 
+# --- bf16 (native bfloat16 sweeps, SWEEP_BF16 — adopted r43d) ---
+# Counted from `_dir_step_bf16` per PACKED element (2 cells per 32-bit
+# lane), /2 for per-cell: q bit view 1; up/dn neighbours (roll on the
+# int32 view + bitcast + iota cmp + select) 4+4; bracket (3 bf16 mins +
+# P1 add — ONE op each, the whole point) 4; L = c + cand 1; renorm tree
+# 7 x (bf16 min + bitcast-roll-bitcast) = 28; carry subtract 1;
+# L -> int32 convert + S accumulate 2 -> 45 packed = 22.5 ops/cell
+# (9 packed cross-lane = 4.5/cell). Diagonals add the one-row shift on
+# the bit view (bitcast + sublane roll + 2 shifts + and + or + bitcast
+# = 7) + fresh-start mask (2 cmps + select) -> 10 packed = 5.0/cell
+# (+0.5/cell cross-lane). Shared per scan step: c widen/convert +
+# padded-lane mask + out cast + S_in add ~ 6 packed ops.
+# The as-written bf16 sequence has FEWER ops/cell than even the
+# work-normalized v32 one — the adoption direction the SWAR-true
+# accounting pointed at (BASELINE round-4: headroom is algorithmic).
+SWEEP_AXIAL_OPS_BF16, SWEEP_AXIAL_ROLLS_BF16 = 22.5, 4.5
+SWEEP_DIAG_OPS_BF16, SWEEP_DIAG_ROLLS_BF16 = 27.5, 5.0
+BF16_STEP_OVERHEAD_OPS = 6.0
+
 # census_cost_volume_pallas: per (y, x, d) cell ~3 ops (xor + native
 # popcount + widen/accumulate; 2 planes for >32-bit censuses), plus the
 # per-PIXEL census construction (~2 ops per window bit: cmp + pack-or).
@@ -136,45 +155,72 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _impl_row(impl: str):
+    if impl == "swar":
+        return (SWEEP_AXIAL_OPS_SWAR, SWEEP_AXIAL_ROLLS_SWAR,
+                SWEEP_DIAG_OPS_SWAR, SWEEP_DIAG_ROLLS_SWAR,
+                SWAR_STEP_OVERHEAD_OPS)
+    if impl == "bf16":
+        return (SWEEP_AXIAL_OPS_BF16, SWEEP_AXIAL_ROLLS_BF16,
+                SWEEP_DIAG_OPS_BF16, SWEEP_DIAG_ROLLS_BF16,
+                BF16_STEP_OVERHEAD_OPS)
+    return (SWEEP_AXIAL_OPS, SWEEP_AXIAL_ROLLS,
+            SWEEP_DIAG_OPS, SWEEP_DIAG_ROLLS, 0.0)
+
+
+def resolve_impl(cfg: Config) -> Tuple[str, str]:
+    """(sweep_impl, bwd_impl) the dispatch would pick for cfg at HEAD
+    toggles — mirrors the gates in kernels.sgm_pallas (sweeps and the
+    bwd+WTA kernel's embedded recurrence are toggled independently)."""
+    from tpustereo.kernels import sgm_pallas as sp
+    bf_ok = cfg.max_census_cost + cfg.p2 <= 255
+    swar_ok = cfg.p1 + cfg.p2 + 256 < sp._BIG16
+    sweep = ("bf16" if (sp.SWEEP_BF16 and bf_ok) else
+             "swar" if (sp.SWEEP_SWAR and swar_ok) else "v32")
+    bwd = ("bf16" if (sp.BWD_BF16 and bf_ok) else
+           "swar" if (sp.SWEEP_SWAR and swar_ok) else "v32")
+    return sweep, bwd
+
+
 def sgm_ops_model(cfg: Config, shape: Tuple[int, int],
-                  swar: Optional[bool] = None) -> Optional[dict]:
+                  swar: Optional[bool] = None,
+                  impl: Optional[Tuple[str, str]] = None) -> Optional[dict]:
     """Per-FRAME element-op and HBM-byte totals for the fused Pallas SGM
     pipeline at `shape`, on the padded geometry the kernels execute.
     Returns None for non-SGM modes (no model).
 
-    swar: count the 2x16 halves-packed op sequence the kernels actually
-    run when SWEEP_SWAR is on (None = read the toggle) — the issue-true
-    accounting VERDICT r3 #4 asked for; False gives the v32 sequence,
-    which doubles as the work-normalized accounting (same cell updates
-    in canonical vector ops)."""
+    impl: (sweep_impl, bwd_impl) op-sequence selection, each of
+    'v32' | 'swar' | 'bf16' (None = what the toggles would dispatch,
+    `resolve_impl`) — the issue-true accounting VERDICT r3 #4 asked for.
+    swar: legacy bool alias (True = ('swar','swar'), False =
+    ('v32','v32'), the work-normalized accounting)."""
     if cfg.mode != "sgm":
         return None
-    if swar is None:
-        from tpustereo.kernels import sgm_pallas
-        swar = sgm_pallas.SWEEP_SWAR
+    if impl is None:
+        if swar is not None:
+            impl = ("swar", "swar") if swar else ("v32", "v32")
+        else:
+            impl = resolve_impl(cfg)
+    sweep_impl, bwd_impl = impl
     H, W = shape
     D = cfg.num_disparities
     Hp, Wq, Dp = _round_up(H, 8), _round_up(W, 128), _round_up(D, 128)
     cells = Hp * Wq * Dp  # one slab volume (identical transposed)
 
-    if swar:
-        ax_ops, ax_rolls = SWEEP_AXIAL_OPS_SWAR, SWEEP_AXIAL_ROLLS_SWAR
-        dg_ops, dg_rolls = SWEEP_DIAG_OPS_SWAR, SWEEP_DIAG_ROLLS_SWAR
-        step_ovh = SWAR_STEP_OVERHEAD_OPS
-        bwd_ops, bwd_rolls = BWD_EXTRA_OPS_SWAR, BWD_EXTRA_ROLLS_SWAR
-    else:
-        ax_ops, ax_rolls = SWEEP_AXIAL_OPS, SWEEP_AXIAL_ROLLS
-        dg_ops, dg_rolls = SWEEP_DIAG_OPS, SWEEP_DIAG_ROLLS
-        step_ovh = 0.0
-        bwd_ops, bwd_rolls = BWD_EXTRA_OPS, BWD_EXTRA_ROLLS
+    ax_ops, ax_rolls, dg_ops, dg_rolls, step_ovh = _impl_row(sweep_impl)
+    bx_ops, bx_rolls, _, _, bx_ovh = _impl_row(bwd_impl)
+    # the WTA stages run at full width in every impl (the packed-argmin
+    # needs 19+ bits) — same extras regardless
+    bwd_ops, bwd_rolls = BWD_EXTRA_OPS, BWD_EXTRA_ROLLS
 
     n_diag = 2 if cfg.paths == 8 else 0
     # vertical sweeps: down + up, each (1 axial + n_diag diagonals)
     v_ops = 2 * (ax_ops + n_diag * dg_ops + step_ovh)
     v_rolls = 2 * (ax_rolls + n_diag * dg_rolls)
-    # horizontal: forward sweep (axial) + fused bwd+WTA
-    h_ops = (ax_ops + step_ovh) + (ax_ops + step_ovh + bwd_ops)
-    h_rolls = ax_rolls + (ax_rolls + bwd_rolls)
+    # horizontal: forward sweep (axial, sweep impl) + fused bwd+WTA (its
+    # embedded recurrence follows the bwd impl)
+    h_ops = (ax_ops + step_ovh) + (bx_ops + bx_ovh + bwd_ops)
+    h_rolls = ax_rolls + (bx_rolls + bwd_rolls)
 
     census_ops = 2 * Hp * Wq * cfg.census_bits * CENSUS_PIXEL_OPS_PER_BIT
     ops = {
@@ -207,6 +253,7 @@ def sgm_ops_model(cfg: Config, shape: Tuple[int, int],
     path_cells = H * W * D * cfg.paths  # the judge-facing canonical count
     return {
         "shape": [H, W], "padded": [Hp, Wq, Dp], "paths": cfg.paths,
+        "impl": {"sweeps": sweep_impl, "bwd": bwd_impl},
         "path_cell_updates": path_cells,
         "elem_ops": ops,
         "elem_ops_total": sum(ops.values()),
@@ -227,17 +274,17 @@ def roofline(cfg: Config, shape: Tuple[int, int], sec_per_frame: float,
     the model does not cover (sorts/CC), so core utilization is the honest
     figure when available.
 
-    When SWEEP_SWAR is on, the record carries BOTH accountings
-    (VERDICT r3 #4): `*_swar_true` counts the packed op sequence as
-    written (brackets utilization from above — Mosaic compresses the
-    bit-twiddling), while the default keys keep the work-normalized v32
-    sequence (same cell updates in canonical ops; brackets from below)."""
+    The record carries BOTH accountings (VERDICT r3 #4): `*_aswritten`
+    counts the op sequence the toggles actually dispatch (SWAR packed
+    bit-ops or the bf16 bitcast-roll sequence — `model_aswritten.impl`
+    names it), while the default keys keep the work-normalized v32
+    sequence (same cell updates in canonical vector ops)."""
     m = sgm_ops_model(cfg, shape, swar=False)   # work-normalized
     if m is None or sec_per_frame <= 0:
         return None
-    from tpustereo.kernels import sgm_pallas
-    m_swar = (sgm_ops_model(cfg, shape, swar=True)
-              if sgm_pallas.SWEEP_SWAR else None)
+    m_asw = sgm_ops_model(cfg, shape)           # toggle-dispatched
+    if m_asw is not None and m_asw["impl"] == m["impl"]:
+        m_asw = None                            # v32 everywhere: one model
     name, spec = chip_spec(device_kind)
     peak_ops = spec["vpu_elem_ops_per_s"]
     vreg = spec["vreg_elems"]
@@ -269,14 +316,16 @@ def roofline(cfg: Config, shape: Tuple[int, int], sec_per_frame: float,
                           / spec["hbm_bytes_per_s"], 4),
         "frame": util(sec_per_frame, m),
     }
-    if m_swar is not None:
-        rec["model_swar_true"] = {
-            k: m_swar[k] for k in ("elem_ops_total", "cross_lane_ops_total")}
-        rec["frame_swar_true"] = util(sec_per_frame, m_swar)
+    if m_asw is not None:
+        rec["model_aswritten"] = {
+            "impl": m_asw["impl"],
+            **{k: m_asw[k] for k in ("elem_ops_total",
+                                     "cross_lane_ops_total")}}
+        rec["frame_aswritten"] = util(sec_per_frame, m_asw)
     if core_sec_per_frame and core_sec_per_frame > 0:
         rec["core"] = util(core_sec_per_frame, m)
-        if m_swar is not None:
-            rec["core_swar_true"] = util(core_sec_per_frame, m_swar)
+        if m_asw is not None:
+            rec["core_aswritten"] = util(core_sec_per_frame, m_asw)
     # classify over the SAME window (whole frame) for both resources —
     # mixing core-window VPU with frame-window HBM would bias toward VPU
     u = rec["frame"]

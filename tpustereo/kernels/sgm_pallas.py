@@ -92,7 +92,11 @@ _BIG16 = 0x4000
 # over SWEEP_SWAR where its gate holds; needs the caller to pass the true
 # cost bound c_max (default 255 keeps it off). Toggle +
 # jax.clear_caches() for on-chip A/B.
-SWEEP_BF16 = False
+# ADOPTED r43d/r43e: sweeps-only bf16 measures kitti8 79.89 vs 76.61 fps
+# (+4.3%) and sgm4 90.36 vs 89.19 (+1.3%) against the same-day defaults;
+# exact on chip (small + kitti f0). BWD_BF16 measured a ~1 fps LOSS at
+# kitti8 (75.7 bwd-only) and stays off.
+SWEEP_BF16 = True
 # The bwd+WTA kernel's embedded recurrence adopts bf16 INDEPENDENTLY of
 # the sweeps: the r43b full-pipeline A/B moved differently per kernel
 # family (headline +3% with everything bf16, sgm4 -8%), so the combo
