@@ -125,6 +125,23 @@ def main():
         except Exception as e:
             rec(f"error/bench_{key}", repr(e)[:500]); traceback.print_exc()
 
+    # sgm4 F=4 control with the bf16 sweeps off: the only published-vs-
+    # HEAD comparison still open (the r43c/d/e sgm4 readings were F=1 —
+    # the preset drifted from the published F=4 operating point)
+    try:
+        import tpustereo.kernels.sgm_pallas as sp
+        sp.SWEEP_BF16 = False
+        jax.clear_caches()
+        r = run_benchmark(PRESETS["middlebury_sgm4"], shape=(375, 1242),
+                          batch=8, iters=20)
+        rec("bench/sgm4_default_swar_f4", {k: r[k] for k in
+                                           ("value", "ms_per_frame")})
+    except Exception as e:
+        rec("error/sgm4_control", repr(e)[:500]); traceback.print_exc()
+    finally:
+        sp.SWEEP_BF16 = True
+        jax.clear_caches()
+
     for tiled in (False, True):
         try:
             r = run_odometry_benchmark(PRESETS["kitti_odometry"],

@@ -714,7 +714,8 @@ def test_pipeline_bf16_sweeps_match_default(small_pair):
     import tpustereo.kernels.sgm_pallas as sp
     L, R, _, _ = small_pair
     l8, r8 = jnp.asarray(L), jnp.asarray(R)
-    for kw in ({}, dict(paths=4, census_window=(9, 7))):
+    for kw in ({}, dict(paths=4, census_window=(9, 7)),
+               dict(adaptive_p2=True)):
         cfg = Config(num_disparities=32, backend="pallas", **kw)
         old = sp.SWEEP_BF16, sp.BWD_BF16
         outs = []

@@ -156,9 +156,15 @@ PRESETS: Dict[str, Config] = {
         median_filter=False,
     ),
     # 3: SGM 4-path + subpixel + LR check, Middlebury full-res.
+    # frames_per_step=4 IS the published config-3 operating point (the
+    # "F=4 b8" rows in BASELINE.md since r27) — it lived only in the
+    # bench scripts' .replace() until r43e measured the bare preset at
+    # 89.2 fps vs the published 98.4 and exposed the drift. Batched entry
+    # points fall back gracefully when the batch is not a multiple of 4.
     "middlebury_sgm4": Config(
         mode="sgm", paths=4, num_disparities=128, subpixel=True,
         disp12_max_diff=1, speckle_window_size=100, speckle_range=2,
+        frames_per_step=4,
     ),
     # 4: SGM 8-path full pipeline, KITTI 2015, batched pairs.
     # frames_per_step=4: four frames per kernel-launch set (fattens the

@@ -173,7 +173,8 @@ def resolve_impl(cfg: Config) -> Tuple[str, str]:
     toggles — mirrors the gates in kernels.sgm_pallas (sweeps and the
     bwd+WTA kernel's embedded recurrence are toggled independently)."""
     from tpustereo.kernels import sgm_pallas as sp
-    bf_ok = cfg.max_census_cost + cfg.p2 <= 255
+    bf_ok = (cfg.max_census_cost + cfg.p2 <= 255
+             and cfg.num_disparities <= 256)  # r44 VMEM bound
     swar_ok = cfg.p1 + cfg.p2 + 256 < sp._BIG16
     sweep = ("bf16" if (sp.SWEEP_BF16 and bf_ok) else
              "swar" if (sp.SWEEP_SWAR and swar_ok) else "v32")

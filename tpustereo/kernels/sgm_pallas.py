@@ -260,8 +260,9 @@ def _dir_step_bf16(q, c, dx, row_idx, lane_idx, n_real, D, p1, p2):
     up = jnp.where(lane_idx == D - 1, jnp.bfloat16(_BF_BIG), up)
     dn = pltpu.bitcast(_roll(qi, 1, axis=1), jnp.bfloat16)
     dn = jnp.where(lane_idx == 0, jnp.bfloat16(_BF_BIG), dn)
+    p2b = p2 if isinstance(p2, jnp.ndarray) else jnp.bfloat16(p2)
     cand = jnp.minimum(jnp.minimum(q, jnp.minimum(up, dn)
-                                   + jnp.bfloat16(p1)), jnp.bfloat16(p2))
+                                   + jnp.bfloat16(p1)), p2b)
     L = c + cand
     return L - _bf16_tree_min(L), L
 
@@ -439,8 +440,14 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
                                cb)
             total = None
             for k, dx in enumerate(dxs):
+                if p2_ref is not None:
+                    # adaptive P2: per-pixel values <= p2 stay bf16-exact
+                    # under the same c_max + p2 <= 255 gate
+                    p2k = p2_ref[j][:, k:k + 1].astype(jnp.bfloat16)
+                else:
+                    p2k = p2_const
                 qn, L = _dir_step_bf16(carry_ref[k], cb, dx, row_idx,
-                                       lane_idx, n_real, D, p1, p2_const)
+                                       lane_idx, n_real, D, p1, p2k)
                 carry_ref[k] = qn
                 Li = L.astype(jnp.int32)
                 total = Li if total is None else total + Li
@@ -660,10 +667,16 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     # c_max (callers pass cfg.max_census_cost; the 255 default keeps bf16
     # off for unknown-provenance volumes). Same structural exclusions as
     # SWAR; takes precedence over it.
-    bf16 = (SWEEP_BF16 and p2_maps is None
+    # D (lane) bound: at D=512 the bf16 step's live bitcast views (int32
+    # AND bf16 slabs coexist around every roll) measured 17.3M scoped
+    # VMEM — 1.3M over the 16M limit (r44 on-chip compile OOM); D <= 256
+    # is compile- and exactness-gated (r44), wider lanes take the SWAR
+    # branch (exactness-gated at D=512, r42).
+    bf16 = (SWEEP_BF16
             and not emit_transposed
             and not (BATCH_DIRS and K > 1)
-            and N % 16 == 0 and c_max + p2 <= 255)
+            and N % 16 == 0 and c_max + p2 <= 255
+            and C.shape[-1] <= 256)
     swar = (not bf16 and SWEEP_SWAR and p2_maps is None
             and init_carry is None
             and not return_final_carry and not emit_transposed
@@ -1097,7 +1110,8 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
     # census bound is the true c_max here — Ct always comes from the cost
     # kernel in this pipeline.
     bf16 = (BWD_BF16 and p2_maps is None
-            and N % 16 == 0 and cfg.max_census_cost + cfg.p2 <= 255)
+            and N % 16 == 0 and cfg.max_census_cost + cfg.p2 <= 255
+            and D <= 256)  # same VMEM bound as the sweeps (r44 OOM)
     swar = (not bf16 and SWEEP_SWAR and p2_maps is None
             and N % 16 == 0 and cfg.p1 + cfg.p2 + 256 < _BIG16)
     kernel = functools.partial(
