@@ -240,6 +240,36 @@ def roll_chain_micro(x: jnp.ndarray, chain: int = 32,
     )(x)
 
 
+def _reg_chain_kernel(x_ref, out_ref, *, chain):
+    v = x_ref[...]
+    one = jnp.ones((), x_ref.dtype)
+    w = v + one
+    for _ in range(chain):
+        v = jnp.minimum(v + one, w)
+        w = w + one
+    out_ref[...] = v + w
+
+
+def reg_chain_micro(x: jnp.ndarray, chain: int = 32,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Register-only min/add chain (3 ops/iter, NO per-op VMEM reads) on
+    x's dtype — isolates the pure ALU issue rate from load traffic: the
+    r43b elem chain re-read its input every op, so its int32-vs-bf16
+    ratio (4.2x) conflates ALU rate with bytes loaded. Difference two
+    chain lengths (the timed-loop floor rule, CLAUDE.md)."""
+    N, D = x.shape
+    kernel = functools.partial(_reg_chain_kernel, chain=chain)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec((N, D), lambda: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((N, D), lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, D), x.dtype),
+        interpret=interpret,
+    )(x)
+
+
 def _bc_roll_kernel(x_ref, out_ref, *, chain):
     from tpustereo.kernels.sgm_pallas import _bf16_roll_lanes
     v = x_ref[...]
