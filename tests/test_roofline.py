@@ -75,6 +75,23 @@ def test_roofline_record_consistency():
     assert mb["elem_ops_total"] < ms["elem_ops_total"]
 
 
+def test_resolve_impl_mirrors_dispatch_gates():
+    """The roofline's impl resolver encodes the kernel dispatch rules:
+    bf16 for gated costs/penalties at D <= 256, SWAR beyond the bf16
+    bounds, v32 when even SWAR's field headroom fails."""
+    from tpustereo.eval.roofline import resolve_impl
+    import tpustereo.kernels.sgm_pallas as sp
+    assert sp.SWEEP_BF16 and not sp.BWD_BF16  # shipped defaults (r43d)
+    assert resolve_impl(Config()) == ("bf16", "swar")
+    # D = 512 exceeds the bf16 VMEM bound (r44 OOM) -> SWAR
+    assert resolve_impl(Config(num_disparities=512))[0] == "swar"
+    # 9x7 census (c_max 62) still fits the bf16 exactness bound
+    assert resolve_impl(Config(census_window=(9, 7)))[0] == "bf16"
+    # c_max + p2 past 255 -> SWAR; past SWAR's field headroom -> v32
+    assert resolve_impl(Config(p2=240))[0] == "swar"
+    assert resolve_impl(Config(p1=8000, p2=9000)) == ("v32", "v32")
+
+
 def test_bench_record_carries_roofline():
     import jax
     from tpustereo.eval.bench import run_benchmark
