@@ -77,6 +77,14 @@ def main():
         L, R, out = run(k1.replace(num_disparities=256), (375, 1242),
                         150.0, 0.05, 13)
         data = {"L": L, "R": R, "out": out}
+    elif case == "adaptive":
+        # adaptive P2 (OpenCV-style edge-scaled penalties) through the
+        # fused path — the bf16 sweep branch takes per-direction P2 maps
+        # (r4); exactness needs an on-chip gate (interpret cannot catch
+        # Mosaic bugs)
+        L, R, out = run(k1.replace(adaptive_p2=True), (375, 1242),
+                        40.0, 0.03, 16)
+        data = {"L": L, "R": R, "out": out}
     elif case == "census97":
         # 9x7 census (62 bits, c_max = 62 — the largest gated cost bound;
         # exercises the two-bitplane cost path + the bf16 gate's 62+120
