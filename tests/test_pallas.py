@@ -302,6 +302,38 @@ def test_sgbm_frames_4path(rng):
     np.testing.assert_array_equal(stacked, singles)
 
 
+@pytest.mark.parametrize("bf16", [True, False])
+def test_sgbm_frames_adaptive_p2(rng, bf16):
+    """Adaptive-P2 rides the F-stacked fused path (VERDICT r4 next #2):
+    per-frame p2 maps stacked in the volume band layout, bit-exact vs
+    singles through both the bf16 and the v32 sweep branches (adaptive
+    configs never take SWAR — its gate excludes p2_maps)."""
+    import jax
+    import tpustereo.kernels.sgm_pallas as sp
+    from tpustereo.data.synthetic import synthetic_pair
+    from tpustereo.pipeline.sgbm import sgbm_frames
+    cfg = Config(num_disparities=32, paths=8, backend="pallas",
+                 adaptive_p2=True, speckle_window_size=20)
+    Ls, Rs = [], []
+    for f in range(3):
+        L, R, _, _ = synthetic_pair((41, 67), disparity=5.0 + 2 * f,
+                                    slope=0.04, seed=500 + f)
+        Ls.append(L)
+        Rs.append(R)
+    Ls, Rs = jnp.asarray(np.stack(Ls)), jnp.asarray(np.stack(Rs))
+    old = sp.SWEEP_BF16
+    sp.SWEEP_BF16 = bf16
+    jax.clear_caches()
+    try:
+        stacked = np.asarray(sgbm_frames(Ls, Rs, cfg))
+        singles = np.stack([np.asarray(sgbm(Ls[f], Rs[f], cfg))
+                            for f in range(3)])
+    finally:
+        sp.SWEEP_BF16 = old
+        jax.clear_caches()
+    np.testing.assert_array_equal(stacked, singles)
+
+
 def test_sgbm_frames_census_wta(rng):
     """Frame-stacked census_wta path == singles (row-local WTA kernel)."""
     from tpustereo.data.synthetic import synthetic_pair

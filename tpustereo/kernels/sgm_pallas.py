@@ -102,6 +102,13 @@ SWEEP_BF16 = True
 # family (headline +3% with everything bf16, sgm4 -8%), so the combo
 # space is toggled separately and measured.
 BWD_BF16 = False
+# Columns per grid step of the bwd+WTA kernel (power of two <= 128; the
+# masked-RMW output blocks are 128 wide, so a step must stay inside one).
+# R=1 mirrors the sweeps' measured-fastest setting; this toggle exists for
+# the r47 on-chip A/B of DMA-granularity fattening (the bwd kernel's
+# per-step blocks are (R, N, D) x 2 volumes — coarser steps amortise the
+# double-buffer boundaries if anything does). Flip + jax.clear_caches().
+BWD_ROWS = 1
 # Padded-lane / fresh-path sentinel: a power of two is exact in bf16, and
 # 16384's coarse rounding (spacing 128) keeps renormalized padded carries
 # >= ~16k — far above any real candidate — forever. (A small sentinel
@@ -1050,7 +1057,7 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, d_real,
 def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
                   w_real: int, d_real: int,
                   p2_maps: jnp.ndarray | None = None,
-                  rows_per_step: int = 1,
+                  rows_per_step: int = 0,
                   d_start: int = 0,
                   interpret: bool = False):
     """Backward-horizontal sweep over Ct (W, N, D) + fused WTA.
@@ -1075,6 +1082,8 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
     `dr_consistency_pallas(d_start=...)`.
     """
     T, N, D = Ct.shape
+    if rows_per_step <= 0:
+        rows_per_step = BWD_ROWS
     # VMEM budget (see sgm_sweep): Ct + St slabs double-buffered + two
     # (N, D) scratch slabs + the revisited (N, 128) output blocks
     per_row = N * D * (Ct.dtype.itemsize + 2) + (4 * N if p2_maps is not None
@@ -1198,7 +1207,6 @@ def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
         H, W, D = dims
         HF, Wq, Dp = C.shape
         Hp = HF // frames
-    assert frames == 1 or not cfg.adaptive_p2
     down = [(1, 0), (1, 1), (1, -1)] if cfg.paths == 8 else [(1, 0)]
     up = [(-1, 0), (-1, 1), (-1, -1)] if cfg.paths == 8 else [(-1, 0)]
     dxs_v = tuple(dx for _, dx in down)
@@ -1215,8 +1223,8 @@ def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
                                                     transpose_sum_hw_pallas)
     fuse_t = EMIT_TRANSPOSED and emit_transposed_feasible(
         C.shape[0], Wq, Dp, len(dxs_v), frames)
-    down_p2 = _p2_stack(img, down, cfg, False, Hp, Wq)
-    up_p2 = _p2_stack(img, up, cfg, False, Hp, Wq)
+    down_p2 = _p2_stack(img, down, cfg, False, C.shape[0], Wq)
+    up_p2 = _p2_stack(img, up, cfg, False, C.shape[0], Wq)
     if fuse_t:
         St = (sweep(C, None, dxs_v, False, emit_transposed=True,
                     p2_maps=down_p2),
@@ -1266,14 +1274,36 @@ def sgm_select_pallas(C: jnp.ndarray, cfg: Config, img: jnp.ndarray,
 
 def _p2_stack(img: jnp.ndarray, dirs, cfg: Config, transposed: bool,
               T_pad: int, N_pad: int) -> jnp.ndarray | None:
-    """(T, N, K) adaptive-P2 maps for the fused directions, padded."""
+    """(T, N, K) adaptive-P2 maps for the fused directions, padded.
+
+    img may be (F, H, W): frame-stacked pipelines (VERDICT r4 next #2) get
+    per-frame `p2_map`s stacked in the volume's band layout — vertical:
+    Hp-row bands along the scan axis; transposed: Hp-row bands along the
+    sublane axis. Per-frame computation keeps gradients from reading
+    across frames (identical to the scan-of-singles maps). Padding is
+    zero, which is never consumed: at vertical frame seams the carry is
+    re-zeroed so cand = min(q=0, ...) = 0 regardless of P2; padded sublane
+    rows are row-independent; and padded scan columns' carries are
+    fresh-start masked before reaching real columns (the `invalid` test in
+    `_dir_step_*`)."""
     if not cfg.adaptive_p2:
         return None
     from tpustereo.ops.sgm import p2_map
+    imgs = [img] if img.ndim == 2 else [img[f] for f in range(img.shape[0])]
+    F = len(imgs)
+    H, W = imgs[0].shape
     maps = []
     for dy, dx in dirs:
-        m = p2_map(img, dy, dx, cfg)
-        maps.append(m.T if transposed else m)
+        ms = [p2_map(im, dy, dx, cfg) for im in imgs]
+        if transposed:
+            Hp = N_pad // F
+            m = jnp.concatenate(
+                [jnp.pad(mm.T, ((0, 0), (0, Hp - H))) for mm in ms], axis=1)
+        else:
+            Hp = T_pad // F
+            m = jnp.concatenate(
+                [jnp.pad(mm, ((0, Hp - H), (0, 0))) for mm in ms], axis=0)
+        maps.append(m)
     st = jnp.stack(maps, axis=-1).astype(jnp.int32)
     return jnp.pad(st, ((0, T_pad - st.shape[0]), (0, N_pad - st.shape[1]),
                         (0, 0)))

@@ -250,7 +250,6 @@ def sgbm_frames(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
         return _postproc_frames(disp, valid, cfg, interp=interp)
     if (F > 1 and cfg.mode == "sgm" and mode != "off"
             and cfg.census_bits <= 64 and cfg.num_disparities <= 512
-            and not cfg.adaptive_p2
             and cfg.paths * (cfg.max_census_cost + cfg.p2) < 4096
             and _bwd_feasible(H, F, cfg)):
         from tpustereo.kernels import (census_cost_volume_pallas,
