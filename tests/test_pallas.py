@@ -302,6 +302,58 @@ def test_sgbm_frames_4path(rng):
     np.testing.assert_array_equal(stacked, singles)
 
 
+@pytest.mark.parametrize(
+    "D,blk,d0,uniq,subp,d12",
+    [(16, 5, 0, 0, False, -1), (32, 9, 0, 10, True, 1),
+     (32, 9, 3, 10, True, -1), (16, 11, 0, 0, True, 1),
+     (32, 5, 3, 5, False, 2), (16, 9, 0, 10, False, 0)])
+def test_sad_fused_matches_jnp(rng, D, blk, d0, uniq, subp, d12):
+    """Fused plane-sweep SAD kernel (kernels/sad_pallas.py) is bit-exact
+    vs the jnp sad_volume + wta + lr_check path across the knob matrix
+    (block size, min_disparity, uniqueness, subpixel, LR check)."""
+    from tpustereo.data.synthetic import synthetic_pair
+    L, R, _, _ = synthetic_pair((45, 70), disparity=8.0, slope=0.05, seed=3)
+    l8, r8 = jnp.asarray(L), jnp.asarray(R)
+    cfg = Config(mode="sad", num_disparities=D, sad_block=blk,
+                 min_disparity=d0, uniqueness_ratio=uniq, subpixel=subp,
+                 disp12_max_diff=d12, speckle_window_size=0,
+                 median_filter=False)
+    a = np.asarray(sgbm(l8, r8, cfg.replace(backend="jnp")))
+    b = np.asarray(sgbm(l8, r8, cfg.replace(backend="pallas")))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sad_fused_frames_and_fallbacks(rng):
+    """SAD frame stacking (F grid segments of one launch) == singles with
+    full postproc; hirschmuller fill and block 13 fall back to the volume
+    path and still match jnp."""
+    from tpustereo.data.synthetic import synthetic_pair
+    from tpustereo.pipeline.sgbm import sgbm_frames
+    cfg = Config(mode="sad", num_disparities=32, sad_block=9,
+                 backend="pallas", uniqueness_ratio=10, subpixel=True,
+                 disp12_max_diff=1, speckle_window_size=30,
+                 median_filter=True, fill_mode="background")
+    Ls, Rs = [], []
+    for f in range(3):
+        L, R, _, _ = synthetic_pair((41, 67), disparity=5.0 + 2 * f,
+                                    slope=0.04, seed=600 + f)
+        Ls.append(L)
+        Rs.append(R)
+    Ls, Rs = jnp.asarray(np.stack(Ls)), jnp.asarray(np.stack(Rs))
+    stacked = np.asarray(sgbm_frames(Ls, Rs, cfg))
+    singles = np.stack([np.asarray(sgbm(Ls[f], Rs[f], cfg))
+                        for f in range(3)])
+    np.testing.assert_array_equal(stacked, singles)
+    np.testing.assert_array_equal(
+        np.asarray(sgbm(Ls[0], Rs[0], cfg.replace(backend="jnp"))),
+        singles[0])
+    for off_gate in (dict(fill_mode="hirschmuller"), dict(sad_block=13)):
+        c = cfg.replace(**off_gate)
+        np.testing.assert_array_equal(
+            np.asarray(sgbm(Ls[0], Rs[0], c.replace(backend="jnp"))),
+            np.asarray(sgbm(Ls[0], Rs[0], c)))
+
+
 @pytest.mark.parametrize("bf16", [True, False])
 def test_sgbm_frames_adaptive_p2(rng, bf16):
     """Adaptive-P2 rides the F-stacked fused path (VERDICT r4 next #2):

@@ -14,6 +14,10 @@ from tpustereo.kernels.sgm_pallas import (  # noqa: F401
     sweep_bwd_wta,
 )
 from tpustereo.kernels.wta_pallas import wta_lr_pallas  # noqa: F401
+from tpustereo.kernels.sad_pallas import (  # noqa: F401
+    sad_fused_feasible,
+    sad_wta_pallas,
+)
 from tpustereo.kernels.bitonic_pallas import (  # noqa: F401
     bitonic_feasible,
     bitonic_sort_pallas,

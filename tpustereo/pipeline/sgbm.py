@@ -134,10 +134,35 @@ def _postproc(disp, valid, cfg: Config, hits=None):
     return disp
 
 
+def _sad_fused_ok(H: int, W: int, cfg: Config) -> bool:
+    """Dispatch gate for the fused plane-sweep SAD kernel: block <= 11
+    keeps S < 2^15 (the o2/smsp field packing), hirschmuller fill needs
+    the volume (lr_hits) the fused path never materialises, and the VMEM/
+    lane-roll feasibility mirrors the kernel's slab arithmetic."""
+    from tpustereo.kernels import sad_fused_feasible
+    return (cfg.mode == "sad" and cfg.sad_block <= 11
+            and cfg.fill_mode != "hirschmuller"
+            and sad_fused_feasible(H, W, cfg.num_disparities, cfg.sad_block,
+                                   cfg.disp12_max_diff >= 0))
+
+
 @partial(jax.jit, static_argnames="cfg")
 def sgbm(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """Single-pair pipeline: (H, W) uint8 ×2 -> (H, W) float32 disparity."""
     mode = _pallas_mode(cfg)
+    if mode != "off" and _sad_fused_ok(*left.shape, cfg):
+        # fused plane-sweep SAD + WTA: the cost volume never reaches HBM
+        # (kernels/sad_pallas.py — VERDICT r4 next #1)
+        from tpustereo.kernels import dr_consistency_pallas, sad_wta_pallas
+        interp = mode == "interpret"
+        disp, valid, d_rs = sad_wta_pallas(left, right, cfg,
+                                           interpret=interp)
+        if cfg.disp12_max_diff >= 0:
+            valid &= dr_consistency_pallas(d_rs, disp, cfg.num_disparities,
+                                           cfg.disp12_max_diff,
+                                           interpret=interp,
+                                           d_start=cfg.min_disparity)
+        return _postproc(disp, valid, cfg)
     if (cfg.mode == "census_wta" and mode != "off" and cfg.census_bits <= 64
             and cfg.num_disparities <= 512
             and cfg.fill_mode != "hirschmuller"):
@@ -233,6 +258,22 @@ def sgbm_frames(left: jnp.ndarray, right: jnp.ndarray, cfg: Config) -> jnp.ndarr
     """
     F, H, W = left.shape
     mode = _pallas_mode(cfg)
+    if F > 1 and mode != "off" and _sad_fused_ok(H, W, cfg):
+        # stacked plane-sweep SAD: F frames = F grid segments of one
+        # launch (carries re-init per frame; zero cross-frame interaction)
+        from tpustereo.kernels import dr_consistency_pallas, sad_wta_pallas
+        interp = mode == "interpret"
+        disp, valid, d_rs = sad_wta_pallas(left, right, cfg,
+                                           interpret=interp)
+        if cfg.disp12_max_diff >= 0:
+            ok = dr_consistency_pallas(d_rs.reshape(F * H, W),
+                                       disp.reshape(F * H, W),
+                                       cfg.num_disparities,
+                                       cfg.disp12_max_diff,
+                                       interpret=interp,
+                                       d_start=cfg.min_disparity)
+            valid &= ok.reshape(F, H, W)
+        return _postproc_frames(disp, valid, cfg, interp=interp)
     if (F > 1 and cfg.mode == "census_wta" and mode != "off"
             and cfg.census_bits <= 64 and cfg.num_disparities <= 512
             and cfg.fill_mode != "hirschmuller"):
