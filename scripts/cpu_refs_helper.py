@@ -61,6 +61,25 @@ def main():
     elif case == "tsukuba":
         L, R, out = run(PRESETS["tsukuba_sad"], (288, 384), 12.0, 0.03, 3)
         data = {"L": L, "R": R, "out": out}
+    elif case == "tsukuba_lr":
+        # LR check + min_disparity through the fused SAD kernel's
+        # incremental right-WTA carry (r5)
+        L, R, out = run(PRESETS["tsukuba_sad"].replace(
+            disp12_max_diff=1, min_disparity=8), (288, 384), 20.0, 0.04, 5)
+        data = {"L": L, "R": R, "out": out}
+    elif case == "tsukuba_b11":
+        # block 11 (the o2/smsp 15-bit field packing edge: S <= 30855)
+        # with D = 128 (7-bit plane index)
+        L, R, out = run(PRESETS["tsukuba_sad"].replace(
+            sad_block=11, num_disparities=128), (288, 384), 40.0, 0.1, 6)
+        data = {"L": L, "R": R, "out": out}
+    elif case == "kitti4_ap2":
+        # adaptive P2 x frame stacking (r5): 4 singles on CPU are the
+        # reference for the F=4 stacked on-chip run
+        for f in range(4):
+            L, R, out = run(k1.replace(adaptive_p2=True), (375, 1242),
+                            30.0 + 8 * f, 0.03, 20 + f)
+            data[f"L{f}"], data[f"R{f}"], data[f"out{f}"] = L, R, out
     elif case == "census_wta":
         L, R, out = run(PRESETS["middlebury_census_wta"], (375, 621),
                         25.0, 0.03, 4)

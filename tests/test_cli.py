@@ -67,6 +67,7 @@ def test_unknown_key_rejected():
         config_from_args(_args(["not_a_field=1"]))
 
 
+@pytest.mark.slow
 def test_cli_odometry_ate_rpe_report(tmp_path):
     """`odometry` on the synthetic sequence must emit the ATE/RPE report
     (VERDICT r3 next #5), and --gt-poses must round-trip the KITTI

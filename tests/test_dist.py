@@ -36,6 +36,7 @@ def test_mesh_construction():
         make_mesh(data=4, strip=4)
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single(pair):
     L, R, _, _ = pair
     cfg = _cfg()
@@ -47,6 +48,7 @@ def test_data_parallel_matches_single(pair):
     assert np.allclose(out[0], ref)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["jnp", "pallas"])
 def test_tiled_exact_ring_bitexact(pair, backend):
     """Exact ring mode == untiled, bit for bit, at 2 and 4 strips — on both
@@ -62,6 +64,7 @@ def test_tiled_exact_ring_bitexact(pair, backend):
         assert np.abs(ref - out)[sel].max() < 1e-5, f"S={strips}"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["jnp", "pallas"])
 def test_tiled_exact_ring_fill_hirschmuller(pair, backend):
     """Gap filling is global postproc after the all_gather; the tiled
@@ -78,6 +81,7 @@ def test_tiled_exact_ring_fill_hirschmuller(pair, backend):
     assert np.abs(ref - out)[sel].max() < 1e-5
 
 
+@pytest.mark.slow
 def test_tiled_exact_ring_pallas_nondivisible(pair):
     """Pallas q-carry ring + zero-cost bottom padding: still bit-exact."""
     Ho = 45
@@ -91,6 +95,7 @@ def test_tiled_exact_ring_pallas_nondivisible(pair):
     assert np.abs(ref - out)[sel].max() < 1e-5
 
 
+@pytest.mark.slow
 def test_tiled_exact_ring_adaptive_p2(pair):
     L, R, _, _ = pair
     cfg = _cfg(exact_tiling=True, paths=4, adaptive_p2=True)
@@ -116,6 +121,7 @@ def test_tiled_sad_and_census_wta_exact(pair):
         assert np.abs(ref - out)[sel].max() < 1e-5, mode
 
 
+@pytest.mark.slow
 def test_halo_accuracy_vs_untiled(pair):
     """The halo-size/accuracy tradeoff, measured (SURVEY.md §7 hard parts):
     disagreement vs untiled must drop with halo and be small at halo=12."""
@@ -134,6 +140,7 @@ def test_halo_accuracy_vs_untiled(pair):
     assert mismatch[12] < 0.03, mismatch
 
 
+@pytest.mark.slow
 def test_tiled_batched(pair):
     L, R, _, _ = pair
     cfg = _cfg(paths=4, exact_tiling=True)
@@ -148,6 +155,7 @@ def test_tiled_batched(pair):
     assert np.abs(ref0 - out[0])[sel].max() < 1e-5
 
 
+@pytest.mark.slow
 def test_tiled_nondivisible_rows_bitexact():
     """H not divisible by the strip count: bottom rows are padded with
     exact zero-cost rows (fresh path starts), so exact-ring mode stays
@@ -165,6 +173,7 @@ def test_tiled_nondivisible_rows_bitexact():
         assert np.abs(ref - out)[sel].max() < 1e-5, f"S={strips}"
 
 
+@pytest.mark.slow
 def test_tiled_nondivisible_rows_halo_pallas():
     """Non-divisible H on the halo + fused-kernel (interpret) path: runs,
     right shape, and close to untiled away from strip boundaries."""
@@ -199,6 +208,7 @@ def test_disp_axis_sharding_matches_single(pair):
     np.testing.assert_array_equal(out, np.asarray(d_int).astype(np.float32))
 
 
+@pytest.mark.slow
 def test_tiled_halo_fused_kernels_match_jnp(pair):
     """The halo-tiled pallas (fused kernels, interpret) path must equal the
     halo-tiled jnp path exactly — same halo approximation, same math."""
@@ -211,6 +221,7 @@ def test_tiled_halo_fused_kernels_match_jnp(pair):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["jnp", "pallas"])
 def test_tiled_exact_ring_min_disparity(pair, backend):
     """Exact ring mode == untiled with min_disparity > 0 (the fused strip
@@ -225,6 +236,7 @@ def test_tiled_exact_ring_min_disparity(pair, backend):
     assert np.abs(ref - out)[sel].max() < 1e-5
 
 
+@pytest.mark.slow
 def test_tiled_sad_census_wta_pallas_matches_jnp(pair):
     """The tiled census_wta strip body rides the fused cost+WTA kernels
     and tiled SAD selection rides the WTA/LR kernel (TPU-first; no jnp

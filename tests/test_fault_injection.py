@@ -13,6 +13,8 @@ import time
 
 import numpy as np
 
+import pytest
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # 60 frames, not 8: the round-3 fused odometry step runs a steady-state
 # frame in single-digit milliseconds, so a short sequence could FINISH
@@ -42,6 +44,7 @@ def _run_cli(extra, timeout=500):
     return p
 
 
+@pytest.mark.slow
 def test_process_kill_resume_matches_uninterrupted(tmp_path):
     traj_full = str(tmp_path / "full.txt")
     traj_res = str(tmp_path / "resumed.txt")

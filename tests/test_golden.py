@@ -190,6 +190,7 @@ def test_lr_hits_jnp_matches_golden(rng):
         lr_hits_numpy(d_r, cfg2), np.asarray(lr_hits(jnp.asarray(d_r), cfg2)))
 
 
+@pytest.mark.slow
 def test_fill_hirschmuller_jnp_matches_golden(rng):
     import jax.numpy as jnp
     from tpustereo.golden.sgbm_numpy import fill_hirschmuller_numpy

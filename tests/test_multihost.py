@@ -94,6 +94,7 @@ def _spawn_two(worker_src):
     return outs
 
 
+@pytest.mark.slow
 def test_two_process_psum(tmp_path):
     # no pytest-timeout on this box; communicate(timeout=...) is the guard.
     # The axon sitecustomize registers (and initialises) the tunnelled TPU
@@ -105,6 +106,7 @@ def test_two_process_psum(tmp_path):
         assert "RESULT 3.0" in out, (out, err[-2000:])
 
 
+@pytest.mark.slow
 def test_two_process_tiled_pipeline_bitexact():
     """SURVEY.md §5.0: the REAL workload over loopback DCN — a 2-process
     sgbm_tiled (exact ring) run where each process checks its own strip
@@ -115,6 +117,7 @@ def test_two_process_tiled_pipeline_bitexact():
         assert "RESULT TILED_OK" in out, (out, err[-3000:])
 
 
+@pytest.mark.slow
 def test_multihost_bench_harness():
     """The scaling-efficiency harness (cli bench --multihost) end to end on
     loopback DCN: spawns 1-process and 2-process clusters, reports fps and
@@ -150,6 +153,7 @@ def _check_record_consistency(rec):
         <= 0.002 * max(rec["fps_per_host"], 1e-9), rec
 
 
+@pytest.mark.slow
 def test_multihost_tiled_bench_harness():
     """`cli bench --multihost 2 --tiled` end to end: the judged config-5
     composition — mesh (data=2 hosts over loopback DCN, strip=2 fake local

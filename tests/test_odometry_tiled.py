@@ -10,6 +10,8 @@ from tpustereo.data.synthetic import synthetic_sequence
 from tpustereo.dist import make_mesh
 from tpustereo.odometry import StereoOdometry
 
+import pytest
+
 
 def _sequence(H=64):
     return synthetic_sequence(n_frames=4, shape=(H, 96), depth=8.0, fx=200.0,
@@ -29,6 +31,7 @@ def _run(cfg, frames, calib, mesh=None):
     return odo.trajectory()
 
 
+@pytest.mark.slow
 def test_tiled_odometry_matches_single_device():
     calib, frames, gt = _sequence()
     ref = _run(_cfg(), frames, calib)
@@ -41,6 +44,7 @@ def test_tiled_odometry_matches_single_device():
     assert err[-1] < 0.5 * np.linalg.norm(gt[-1, :3, 3]) + 0.05
 
 
+@pytest.mark.slow
 def test_tiled_odometry_nondivisible_rows():
     # 61 rows over 4 strips: exercises the zero-cost bottom padding inside
     # the odometry composition; exact mode keeps equality with untiled
@@ -51,6 +55,7 @@ def test_tiled_odometry_nondivisible_rows():
     np.testing.assert_allclose(ref, tiled, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_kitti_odometry_preset_halo_mode_trajectory():
     """The kitti_odometry preset AS SHIPPED (exact_tiling=False, strips=2,
     halo=32 — what `--preset kitti_odometry` actually runs; VERDICT r2 weak
@@ -76,6 +81,7 @@ def test_kitti_odometry_preset_halo_mode_trajectory():
     assert err[-1] < 0.5 * np.linalg.norm(gt[-1, :3, 3]) + 0.05
 
 
+@pytest.mark.slow
 def test_odometry_preset_exercises_tiling(monkeypatch):
     """The kitti_odometry preset (strips=2) must actually dispatch to the
     tiled pipeline — the r1 judge found cfg.strips dead on this path."""
@@ -96,6 +102,7 @@ def test_odometry_preset_exercises_tiling(monkeypatch):
     assert calls.get("tiled", 0) == 2
 
 
+@pytest.mark.slow
 def test_tracked_frame_dispatch_count(monkeypatch):
     """VERDICT r2 #1 'count them': a tracked frame runs exactly ONE fused
     device program untiled and exactly TWO tiled (matcher + tracking) —
@@ -124,6 +131,7 @@ def test_tracked_frame_dispatch_count(monkeypatch):
     assert counts == {"step": 0, "from_disp": 3, "tiled": 3}
 
 
+@pytest.mark.slow
 def test_odometry_bench_tiled_record():
     """`bench --odometry --tiled` produces a device-side record of the
     config-5 two-dispatch composition on the fake mesh (VERDICT r3 weak

@@ -10,6 +10,8 @@ from tpustereo.odometry.pnp import gauss_newton_pose, project
 from tpustereo.odometry.features import detect_corners, describe, match_descriptors
 from tpustereo.odometry.pose_graph import PoseGraph
 
+import pytest
+
 
 def _rand_twist(rng, rot=0.2, trans=0.5):
     w = rng.normal(0, rot, 3)
@@ -143,6 +145,7 @@ def test_end_to_end_trajectory_on_consistent_sequence():
     assert traj[-1, 0, 3] > 0.6 * gt[-1, 0, 3]
 
 
+@pytest.mark.slow
 def test_loop_closure_detection_on_out_and_back():
     """Out-and-back trajectory (VERDICT r1 weak #8): the detector must find
     at least one appearance+geometry-verified closure between distant
@@ -179,6 +182,7 @@ def test_loop_closure_detection_on_out_and_back():
     assert err_end < max(0.05, err_open * 1.05), (err_end, err_open)
 
 
+@pytest.mark.slow
 def test_fused_track_frames_matches_per_frame_steps():
     """The F-stacked tracking program must equal F single fused steps
     against the same keyframe (same disparities via the bit-exact

@@ -101,6 +101,7 @@ def test_lr_check_parity(vol):
     assert (g == j).all()
 
 
+@pytest.mark.slow
 def test_speckle_parity(pair):
     L, R, _, _ = pair
     gd, stages = golden.sgbm_numpy(L, R, CFG, return_stages=True)
@@ -142,6 +143,7 @@ def test_component_big_scatter_distribute_parity(rng, monkeypatch):
         assert (got == want).all()
 
 
+@pytest.mark.slow
 def test_speckle_worst_case_snake():
     # a long thin valid snake: must NOT be invalidated (component is big);
     # regression test for naive fixed-iteration label propagation.
@@ -156,6 +158,7 @@ def test_speckle_worst_case_snake():
     assert j[0, 0] and j[H - 1, W - 1]  # kept
 
 
+@pytest.mark.slow
 def test_speckle_hilbert_component(rng):
     # ADVICE r1 (high): a high-bend component (order-4 Hilbert path, ~190
     # bends on a 32x32 grid) must converge to ONE label — the old H+W
@@ -241,6 +244,7 @@ def test_pipeline_parity(pair, mode):
     assert np.abs(g - j)[sel].max() < 1e-4
 
 
+@pytest.mark.slow
 def test_pipeline_parity_fill_background(pair):
     # gap filling replaces the invalid marker, so compare values everywhere
     L, R, _, _ = pair

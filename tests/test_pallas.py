@@ -19,6 +19,7 @@ def _volume(pair, cfg):
     return cost_volume(cl, cr, cfg.num_disparities, cfg.max_census_cost)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("paths", [4, 8])
 @pytest.mark.parametrize("adaptive", [False, True])
 def test_aggregate_pallas_bit_exact(small_pair, paths, adaptive):
@@ -41,6 +42,7 @@ def test_aggregate_pallas_unaligned_shapes(rng):
         np.asarray(aggregate_pallas(C, cfg, img, interpret=True)))
 
 
+@pytest.mark.slow
 def test_pipeline_backend_pallas_matches_jnp(small_pair):
     """Full pipeline with backend='pallas' (interpret on CPU) == 'jnp'."""
     L, R, _, _ = small_pair
@@ -119,6 +121,7 @@ def test_cc_pallas_hilbert_component(rng):
     assert np.unique(pal[valid]).size == 1
 
 
+@pytest.mark.slow
 def test_fuzz_random_configs_pallas_vs_jnp(rng):
     """Random config fuzz: the dispatcher must produce identical pipelines
     for every knob combination (interpret mode on CPU)."""
@@ -247,6 +250,7 @@ def test_cc_banded_serpentine_multicycle(rng):
     assert np.unique(banded[v]).size == 1
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("frames,fill", [(2, "off"), (3, "hirschmuller")])
 def test_sgbm_frames_matches_singles(rng, frames, fill):
     """Frame-stacked fused pipeline (one set of kernel launches for F
@@ -269,6 +273,7 @@ def test_sgbm_frames_matches_singles(rng, frames, fill):
     np.testing.assert_array_equal(stacked, singles)
 
 
+@pytest.mark.slow
 def test_sgbm_batched_frames_per_step(rng):
     """sgbm_batched with frames_per_step > 1 equals the per-frame scan."""
     from tpustereo.data.synthetic import synthetic_pair
@@ -283,6 +288,7 @@ def test_sgbm_batched_frames_per_step(rng):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_sgbm_frames_4path(rng):
     """Frame stacking with the 4-path preset shape (K=1 vertical sweeps)."""
     from tpustereo.data.synthetic import synthetic_pair
@@ -323,6 +329,7 @@ def test_sad_fused_matches_jnp(rng, D, blk, d0, uniq, subp, d12):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_sad_fused_frames_and_fallbacks(rng):
     """SAD frame stacking (F grid segments of one launch) == singles with
     full postproc; hirschmuller fill and block 13 fall back to the volume
@@ -354,6 +361,7 @@ def test_sad_fused_frames_and_fallbacks(rng):
             np.asarray(sgbm(Ls[0], Rs[0], c)))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("bf16", [True, False])
 def test_sgbm_frames_adaptive_p2(rng, bf16):
     """Adaptive-P2 rides the F-stacked fused path (VERDICT r4 next #2):
@@ -442,6 +450,7 @@ def test_bitonic_sort_pallas_multipart(rng, n, monkeypatch):
     np.testing.assert_array_equal(k[sp], sk)
 
 
+@pytest.mark.slow
 def test_component_big_bitonic_matches_lax(rng):
     """component_big via the bitonic kernel == the lax.sort formulation ==
     brute-force sizes, on a labelling with many small components."""
@@ -463,6 +472,7 @@ def test_component_big_bitonic_matches_lax(rng):
         sizes >= 5)
 
 
+@pytest.mark.slow
 def test_sweep_batch_dirs_matches_per_direction(small_pair, monkeypatch):
     """BATCH_DIRS (off-default: r22 measured a perf wash) must stay
     bit-exact vs the per-direction sweep path."""
@@ -495,6 +505,7 @@ def test_running_scan_hillis_steele_matches_assoc(rng, monkeypatch):
         want_min)
 
 
+@pytest.mark.slow
 def test_component_big_frames_matches_per_frame(rng):
     """Batched-axis sort formulation == per-frame component_big."""
     from tpustereo.ops.postproc import (component_big, component_big_frames,
@@ -572,6 +583,7 @@ def test_sweep_v32_branch_parity(rng, d_real):
     assert (outs[True][..., :d_real] == outs[False][..., :d_real]).all()
 
 
+@pytest.mark.slow
 def test_bwd_wta_swar_branch_parity(rng):
     """Pin the bwd+WTA kernel's SWAR branch against its v32 branch in
     interpret mode across the uniqueness/subpixel matrix, with scan-axis
@@ -612,6 +624,7 @@ def test_bwd_wta_swar_branch_parity(rng):
     ("census_wta", {}),
     ("sad", {}),
 ])
+@pytest.mark.slow
 @pytest.mark.parametrize("d0", [5, 11])
 def test_pipeline_min_disparity_pallas_matches_jnp(rng, mode, kw, d0):
     """min_disparity > 0 through the FUSED kernel paths (VERDICT r3 next
@@ -628,6 +641,7 @@ def test_pipeline_min_disparity_pallas_matches_jnp(rng, mode, kw, d0):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["sgm", "census_wta"])
 @pytest.mark.parametrize("D,d0", [(256, 0), (256, 7), (160, 0)])
 def test_pipeline_d256_pallas_matches_jnp(mode, D, d0):
@@ -646,6 +660,7 @@ def test_pipeline_d256_pallas_matches_jnp(mode, D, d0):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_sgbm_frames_min_disparity(rng):
     """Frame-stacked fused path with min_disparity > 0 == per-frame runs."""
     from tpustereo.data.synthetic import synthetic_pair
@@ -665,6 +680,7 @@ def test_sgbm_frames_min_disparity(rng):
         np.testing.assert_array_equal(ref, got[f])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("swar", [True, False])
 def test_sweep_bidir_matches_sequential(rng, swar):
     """The bidirectional vertical-sweep kernel == two sequential sweeps,
@@ -760,6 +776,7 @@ def test_sweep_bf16_ring_carry_parity(rng):
         assert (x == y).all()
 
 
+@pytest.mark.slow
 def test_bwd_wta_bf16_branch_parity(rng):
     """Pin the bwd+WTA kernel's bf16 branch against the default across
     the uniqueness/subpixel matrix, with scan-axis padding (w_real < T)
@@ -789,6 +806,7 @@ def test_bwd_wta_bf16_branch_parity(rng):
                 assert (a == b).all()
 
 
+@pytest.mark.slow
 def test_pipeline_bf16_sweeps_match_default(small_pair):
     """Full fused pipeline across the (SWEEP_BF16, BWD_BF16) combo space
     produces identical outputs (explicit flag states, independent of the
@@ -815,6 +833,7 @@ def test_pipeline_bf16_sweeps_match_default(small_pair):
             np.testing.assert_array_equal(outs[0], got)
 
 
+@pytest.mark.slow
 def test_pipeline_bidir_vert_matches_default(small_pair):
     """Full fused pipeline with BIDIR_VERT=True == the sequential-sweep
     default (the toggle changes scheduling, not math)."""
@@ -835,6 +854,7 @@ def test_pipeline_bidir_vert_matches_default(small_pair):
     np.testing.assert_array_equal(ref, got)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("D,d0", [(512, 0), (384, 5)])
 @pytest.mark.parametrize("mode", ["sgm", "census_wta"])
 def test_pipeline_d512_pallas_matches_jnp(mode, D, d0):

@@ -44,6 +44,20 @@ SUITE = [
     ("sgm8_min_disp", dict(shape=(64, 96), disparity=10.0, slope=0.05, seed=5, noise=2.0),
      dict(mode="sgm", paths=8, num_disparities=16, min_disparity=4,
           speckle_window_size=50)),
+    # round-5 surface rows (VERDICT r4 next #3): fill modes, a D=256
+    # multi-lane-block point, and SAD with the LR check + min_disparity
+    ("sgm8_fill_bg", dict(shape=(64, 96), disparity=10.0, slope=0.05, seed=5, noise=2.0),
+     dict(mode="sgm", paths=8, num_disparities=32, speckle_window_size=50,
+          fill_mode="background")),
+    ("sgm8_fill_hm", dict(shape=(64, 96), disparity=10.0, slope=0.05, seed=5, noise=2.0),
+     dict(mode="sgm", paths=8, num_disparities=32, speckle_window_size=50,
+          fill_mode="hirschmuller")),
+    ("sgm8_d256", dict(shape=(64, 320), disparity=150.0, slope=0.05, seed=7, noise=2.0),
+     dict(mode="sgm", paths=8, num_disparities=256,
+          speckle_window_size=50)),
+    ("sad_lr", dict(shape=(64, 96), disparity=12.0, slope=0.0, seed=6, noise=0.0),
+     dict(mode="sad", num_disparities=32, sad_block=9, disp12_max_diff=1,
+          min_disparity=4, speckle_window_size=0, median_filter=False)),
 ]
 
 # rates are quantised in units of 1/(64*96) ~ 2e-4; 3e-3 allows a couple of

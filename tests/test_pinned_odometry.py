@@ -54,6 +54,7 @@ def _compute():
             "rpe_rot_rmse_deg": r["rot_rmse_deg"]}
 
 
+@pytest.mark.slow
 def test_pinned_odometry_trajectory():
     assert os.path.exists(PIN_PATH), \
         "run `python tests/test_pinned_odometry.py --regen` once"

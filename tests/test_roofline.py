@@ -78,18 +78,45 @@ def test_roofline_record_consistency():
 def test_resolve_impl_mirrors_dispatch_gates():
     """The roofline's impl resolver encodes the kernel dispatch rules:
     bf16 for gated costs/penalties at D <= 256, SWAR beyond the bf16
-    bounds, v32 when even SWAR's field headroom fails."""
+    bounds, v32 when even SWAR's field headroom fails; adaptive_p2
+    excludes the p2_maps-less packed gates, and the horizontal kernels'
+    N % 16 shape gate demotes the bwd impl (r4 advisor). Toggles are set
+    explicitly (save/restore) so flipping a shipped default for an
+    on-chip A/B cannot fail this gate-mirror test."""
+    import jax
     from tpustereo.eval.roofline import resolve_impl
     import tpustereo.kernels.sgm_pallas as sp
-    assert sp.SWEEP_BF16 and not sp.BWD_BF16  # shipped defaults (r43d)
-    assert resolve_impl(Config()) == ("bf16", "swar")
-    # D = 512 exceeds the bf16 VMEM bound (r44 OOM) -> SWAR
-    assert resolve_impl(Config(num_disparities=512))[0] == "swar"
-    # 9x7 census (c_max 62) still fits the bf16 exactness bound
-    assert resolve_impl(Config(census_window=(9, 7)))[0] == "bf16"
-    # c_max + p2 past 255 -> SWAR; past SWAR's field headroom -> v32
-    assert resolve_impl(Config(p2=240))[0] == "swar"
-    assert resolve_impl(Config(p1=8000, p2=9000)) == ("v32", "v32")
+    old = sp.SWEEP_BF16, sp.BWD_BF16, sp.SWEEP_SWAR
+    sp.SWEEP_BF16, sp.BWD_BF16, sp.SWEEP_SWAR = True, False, True
+    jax.clear_caches()
+    try:
+        assert resolve_impl(Config()) == ("bf16", "swar")
+        # D = 512 exceeds the bf16 VMEM bound (r44 OOM) -> SWAR
+        assert resolve_impl(Config(num_disparities=512))[0] == "swar"
+        # 9x7 census (c_max 62) still fits the bf16 exactness bound
+        assert resolve_impl(Config(census_window=(9, 7)))[0] == "bf16"
+        # c_max + p2 past 255 -> SWAR; past SWAR's field headroom -> v32
+        assert resolve_impl(Config(p2=240))[0] == "swar"
+        assert resolve_impl(Config(p1=8000, p2=9000)) == ("v32", "v32")
+        # adaptive_p2: p2_maps exclude SWAR everywhere and any packed bwd
+        assert resolve_impl(Config(adaptive_p2=True)) == ("bf16", "v32")
+        assert resolve_impl(Config(adaptive_p2=True, p2=240)) == \
+            ("v32", "v32")
+        # shape gate: single-frame odd-height (H=375 -> N=376, % 16 != 0)
+        # demotes the bwd recurrence to v32; F=4 restores alignment
+        assert resolve_impl(Config(), (375, 1242), frames=1) == \
+            ("bf16", "v32")
+        assert resolve_impl(Config(frames_per_step=4), (375, 1242)) == \
+            ("bf16", "swar")
+        # sgm_ops_model's record names the demoted fwd sweep
+        from tpustereo.eval.roofline import sgm_ops_model
+        m = sgm_ops_model(Config(), (375, 1242))
+        assert m["impl"] == {"sweeps": "bf16", "bwd": "v32", "fwd": "v32"}
+        m = sgm_ops_model(Config(frames_per_step=4), (375, 1242))
+        assert m["impl"] == {"sweeps": "bf16", "bwd": "swar"}
+    finally:
+        sp.SWEEP_BF16, sp.BWD_BF16, sp.SWEEP_SWAR = old
+        jax.clear_caches()
 
 
 def test_bench_record_carries_roofline():

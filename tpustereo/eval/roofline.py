@@ -168,18 +168,36 @@ def _impl_row(impl: str):
             SWEEP_DIAG_OPS, SWEEP_DIAG_ROLLS, 0.0)
 
 
-def resolve_impl(cfg: Config) -> Tuple[str, str]:
+def resolve_impl(cfg: Config, shape: Optional[Tuple[int, int]] = None,
+                 frames: Optional[int] = None) -> Tuple[str, str]:
     """(sweep_impl, bwd_impl) the dispatch would pick for cfg at HEAD
     toggles — mirrors the gates in kernels.sgm_pallas (sweeps and the
-    bwd+WTA kernel's embedded recurrence are toggled independently)."""
+    bwd+WTA kernel's embedded recurrence are toggled independently).
+
+    adaptive_p2 configs carry p2_maps, which the SWAR sweep gate and BOTH
+    bwd packed gates exclude (sweeps then ride bf16 or v32; the bwd
+    recurrence always v32). The horizontal-layout kernels (fwd sweep +
+    bwd) additionally need their sublane count F*round_up(H, 8) % 16 == 0
+    for any packed impl — pass `shape` (and `frames`, default
+    cfg.frames_per_step) to model that; without a shape the resolver
+    assumes aligned (the vertical sweeps' N is a multiple of 128 either
+    way). The returned sweep impl names the VERTICAL sweeps; the fwd
+    horizontal sweep drops to v32 when the alignment fails
+    (`sgm_ops_model` accounts for it via the same check)."""
     from tpustereo.kernels import sgm_pallas as sp
     bf_ok = (cfg.max_census_cost + cfg.p2 <= 255
              and cfg.num_disparities <= 256)  # r44 VMEM bound
-    swar_ok = cfg.p1 + cfg.p2 + 256 < sp._BIG16
+    swar_ok = (cfg.p1 + cfg.p2 + 256 < sp._BIG16
+               and not cfg.adaptive_p2)       # SWAR gates exclude p2_maps
+    aligned = True
+    if shape is not None:
+        F = cfg.frames_per_step if frames is None else frames
+        aligned = (F * _round_up(shape[0], 8)) % 16 == 0
     sweep = ("bf16" if (sp.SWEEP_BF16 and bf_ok) else
              "swar" if (sp.SWEEP_SWAR and swar_ok) else "v32")
-    bwd = ("bf16" if (sp.BWD_BF16 and bf_ok) else
-           "swar" if (sp.SWEEP_SWAR and swar_ok) else "v32")
+    bwd = ("bf16" if (sp.BWD_BF16 and bf_ok and not cfg.adaptive_p2
+                      and aligned) else
+           "swar" if (sp.SWEEP_SWAR and swar_ok and aligned) else "v32")
     return sweep, bwd
 
 
@@ -197,18 +215,27 @@ def sgm_ops_model(cfg: Config, shape: Tuple[int, int],
     ('v32','v32'), the work-normalized accounting)."""
     if cfg.mode != "sgm":
         return None
+    H, W = shape
+    fwd_impl = None
     if impl is None:
         if swar is not None:
             impl = ("swar", "swar") if swar else ("v32", "v32")
         else:
-            impl = resolve_impl(cfg)
+            impl = resolve_impl(cfg, shape)
+            # the fwd horizontal sweep shares the bwd kernel's sublane
+            # alignment gate; when it fails, only that sweep drops to v32
+            # (the vertical sweeps' N is always 128-aligned)
+            if (cfg.frames_per_step * _round_up(H, 8)) % 16:
+                fwd_impl = "v32"
     sweep_impl, bwd_impl = impl
-    H, W = shape
+    if fwd_impl is None:
+        fwd_impl = sweep_impl
     D = cfg.num_disparities
     Hp, Wq, Dp = _round_up(H, 8), _round_up(W, 128), _round_up(D, 128)
     cells = Hp * Wq * Dp  # one slab volume (identical transposed)
 
     ax_ops, ax_rolls, dg_ops, dg_rolls, step_ovh = _impl_row(sweep_impl)
+    fx_ops, fx_rolls, _, _, fx_ovh = _impl_row(fwd_impl)
     bx_ops, bx_rolls, _, _, bx_ovh = _impl_row(bwd_impl)
     # the WTA stages run at full width in every impl (the packed-argmin
     # needs 19+ bits) — same extras regardless
@@ -218,10 +245,11 @@ def sgm_ops_model(cfg: Config, shape: Tuple[int, int],
     # vertical sweeps: down + up, each (1 axial + n_diag diagonals)
     v_ops = 2 * (ax_ops + n_diag * dg_ops + step_ovh)
     v_rolls = 2 * (ax_rolls + n_diag * dg_rolls)
-    # horizontal: forward sweep (axial, sweep impl) + fused bwd+WTA (its
-    # embedded recurrence follows the bwd impl)
-    h_ops = (ax_ops + step_ovh) + (bx_ops + bx_ovh + bwd_ops)
-    h_rolls = ax_rolls + (bx_rolls + bwd_rolls)
+    # horizontal: forward sweep (axial, fwd impl — sweep impl unless the
+    # sublane alignment gate demotes it) + fused bwd+WTA (its embedded
+    # recurrence follows the bwd impl)
+    h_ops = (fx_ops + fx_ovh) + (bx_ops + bx_ovh + bwd_ops)
+    h_rolls = fx_rolls + (bx_rolls + bwd_rolls)
 
     census_ops = 2 * Hp * Wq * cfg.census_bits * CENSUS_PIXEL_OPS_PER_BIT
     ops = {
@@ -252,9 +280,12 @@ def sgm_ops_model(cfg: Config, shape: Tuple[int, int],
     }
 
     path_cells = H * W * D * cfg.paths  # the judge-facing canonical count
+    impl_rec = {"sweeps": sweep_impl, "bwd": bwd_impl}
+    if fwd_impl != sweep_impl:
+        impl_rec["fwd"] = fwd_impl
     return {
         "shape": [H, W], "padded": [Hp, Wq, Dp], "paths": cfg.paths,
-        "impl": {"sweeps": sweep_impl, "bwd": bwd_impl},
+        "impl": impl_rec,
         "path_cell_updates": path_cells,
         "elem_ops": ops,
         "elem_ops_total": sum(ops.values()),
