@@ -350,9 +350,11 @@ def run_benchmark(cfg: Config, shape: Tuple[int, int] = (375, 1242),
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
     if stages:
-        if cfg.mode == "sgm" and not tiled:
+        if not tiled:
             # the production composition (frames_per_step fused batched
-            # pipeline), decomposed in context by differencing
+            # pipeline), decomposed in context by differencing — the
+            # methodology is mode-generic (r5: SAD/census_wta too, so
+            # `bench --preset tsukuba_sad --stages` works)
             record["stage_ms"] = production_stage_times(cfg, lefts, rights,
                                                         iters=iters)
         else:
