@@ -300,3 +300,34 @@ def test_census_wta_fused_frame_parity(pair, lr):
     pal = np.asarray(sgbm(jnp.asarray(L), jnp.asarray(R),
                           cfg.replace(backend="pallas")))
     assert (ref == pal).all()
+
+
+def test_p2_map_float_div_exhaustive():
+    """p2_map's f32-division quotient (TPU has no vector integer divide)
+    equals integer division EXHAUSTIVELY over the gated domain:
+    P2 <= 4095 (the paths*(c_max+P2) < 4096 dispatch gate) x gradient
+    g in [1, 255] (uint8 images). IEEE-754 correctly-rounded single
+    division cannot cross an integer boundary here (|q - fl(q)| <
+    ulp/2 < 1/g while q*g < 2^24) — this pins that argument."""
+    p2 = np.arange(0, 4096, dtype=np.int64)
+    g = np.arange(1, 256, dtype=np.int64)
+    q_int = p2[:, None] // g[None, :]
+    q_f = np.floor(p2[:, None].astype(np.float32)
+                   / g[None, :].astype(np.float32)).astype(np.int64)
+    assert (q_int == q_f).all()
+
+
+def test_p2_map_matches_golden():
+    """ops.sgm.p2_map (f32-div form) == golden._p2_map (int div) on a
+    real image for every direction."""
+    from tpustereo.data.synthetic import synthetic_pair
+    from tpustereo.golden.sgbm_numpy import _p2_map as golden_p2
+    from tpustereo.ops.sgm import p2_map
+    L, _, _, _ = synthetic_pair((48, 64), disparity=6.0, slope=0.05,
+                                seed=11, noise=3.0)
+    cfg = Config(num_disparities=16, adaptive_p2=True, p1=9, p2=250)
+    for dy, dx in [(1, 0), (1, 1), (1, -1), (0, 1), (0, -1), (-1, 0),
+                   (-1, 1), (-1, -1)]:
+        ref = golden_p2(L, dy, dx, cfg)
+        got = np.asarray(p2_map(jnp.asarray(L), dy, dx, cfg))
+        np.testing.assert_array_equal(ref, got, err_msg=f"{dy},{dx}")

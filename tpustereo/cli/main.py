@@ -119,10 +119,18 @@ def _write_disparity(path: str, disp: np.ndarray) -> None:
         raise SystemExit(f"unknown output format: {path}")
 
 
+# BASELINE.md geometry of each preset — `bench --preset X` without an
+# explicit --shape measures the operating point it names
+_PRESET_SHAPES = {"tsukuba_sad": "288x384",
+                  "middlebury_census_wta": "375x621"}
+
+
 def cmd_bench(args) -> int:
     from tpustereo.eval.bench import run_benchmark
     cfg = config_from_args(args) if (args.preset or args.config or args.set) \
         else PRESETS["kitti_sgm8"]
+    if args.shape is None:
+        args.shape = _PRESET_SHAPES.get(args.preset, "375x1242")
     if args.odometry:
         from tpustereo.eval.bench import run_odometry_benchmark
         record = run_odometry_benchmark(
@@ -246,7 +254,10 @@ def main(argv=None) -> int:
 
     b = sub.add_parser("bench", help="throughput benchmark + per-stage profile")
     add_config_flags(b)
-    b.add_argument("--shape", default="375x1242", help="HxW (default KITTI 2015)")
+    b.add_argument("--shape", default=None,
+                   help="HxW (default: the preset's BASELINE geometry — "
+                        "KITTI 2015 375x1242 unless the preset names "
+                        "another)")
     b.add_argument("--batch", type=int, default=2)
     b.add_argument("--iters", type=int, default=10)
     b.add_argument("--stages", action="store_true", help="per-stage time table")

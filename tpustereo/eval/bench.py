@@ -332,8 +332,11 @@ def run_benchmark(cfg: Config, shape: Tuple[int, int] = (375, 1242),
         chips = 1
 
     fps = batch / sec
+    kind = {"sad": f"SAD block-{cfg.sad_block}",
+            "census_wta": "census+WTA"}.get(cfg.mode,
+                                            f"SGM {cfg.paths}-path")
     record = {
-        "metric": f"SGM {cfg.paths}-path fps/chip ({H}x{W}, D={cfg.num_disparities})",
+        "metric": f"{kind} fps/chip ({H}x{W}, D={cfg.num_disparities})",
         "value": round(fps / chips, 3),
         "unit": "fps/chip",
         "vs_baseline": round(fps / chips / BASELINE_FPS, 2),

@@ -27,7 +27,16 @@ _BIG = 1 << 24  # plain int: module import must not initialise the backend
 
 def p2_map(img: jnp.ndarray, dy: int, dx: int, cfg: Config) -> jnp.ndarray:
     """Per-pixel P2 for direction r=(dy,dx) (adaptive on left-image gradient,
-    mirroring golden._p2_map): P2' = max(P1+1, P2 // max(1, |I(p)-I(p-r)|))."""
+    mirroring golden._p2_map): P2' = max(P1+1, P2 // max(1, |I(p)-I(p-r)|)).
+
+    The quotient rides f32 division, not integer division (TPU has no
+    vector integer divide — XLA emulates it at many ops/element, and the
+    8 directional maps are traced into the on-chip pipeline). Exact:
+    for 0 < g <= 255 and P2 < 2^24, the true quotient q = P2/g satisfies
+    |q - fl(q)| <= ulp(q)/2 < 1/g (since q*g = P2 < 2^24), so the
+    correctly-rounded f32 division can never cross an integer boundary —
+    floor(fl(q)) == P2 // g, verified exhaustively over the full
+    (P2 <= 4095) x (g <= 255) domain in tests/test_ops_parity.py."""
     H, W = img.shape
     if not cfg.adaptive_p2:
         return jnp.full((H, W), cfg.p2, jnp.int32)
@@ -38,7 +47,9 @@ def p2_map(img: jnp.ndarray, dy: int, dx: int, cfg: Config) -> jnp.ndarray:
     ys_src = slice(max(-dy, 0), H + min(-dy, 0))
     xs_src = slice(max(-dx, 0), W + min(-dx, 0))
     grad = grad.at[ys, xs].set(jnp.abs(ii[ys, xs] - ii[ys_src, xs_src]))
-    return jnp.maximum(cfg.p1 + 1, cfg.p2 // jnp.maximum(1, grad))
+    g = jnp.maximum(1, grad).astype(jnp.float32)
+    quot = jnp.floor(jnp.float32(cfg.p2) / g).astype(jnp.int32)
+    return jnp.maximum(cfg.p1 + 1, quot)
 
 
 def _sweep(C: jnp.ndarray, p2m: jnp.ndarray, p1: int, dx: int,
