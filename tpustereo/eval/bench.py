@@ -68,6 +68,32 @@ def stage_times(left, right, cfg: Config, iters: int = 5) -> Dict[str, float]:
     n = iters
 
     mode = _pallas_mode(cfg)
+    if cfg.mode == "sad":
+        # SAD: profile whichever path the dispatcher runs (the fused
+        # plane-sweep kernel, or the volume path off-gate)
+        from tpustereo.pipeline.sgbm import _sad_fused_ok
+        if mode != "off" and _sad_fused_ok(*l8.shape, cfg):
+            from tpustereo.kernels import sad_wta_pallas
+            ms["sad_fused(volume+wta)"] = _timed_device_loop(
+                lambda l: sad_wta_pallas(l, r8, cfg,
+                                         interpret=(mode == "interpret"))[0],
+                l8, iters=n) * 1e3
+        else:
+            from tpustereo.ops import sad_volume, wta
+            vol = partial(sad_volume, num_disp=cfg.num_disparities,
+                          block=cfg.sad_block, d_start=cfg.min_disparity)
+            S = jax.jit(vol)(l8, r8)
+            ms["sad_volume"] = _timed_device_loop(vol, l8, r8, iters=n) * 1e3
+            ms["wta_subpixel"] = _timed_device_loop(
+                lambda s: wta(s, cfg)[0], S, iters=n) * 1e3
+        from tpustereo.pipeline.sgbm import sgbm as _pipe
+        disp = _pipe(l8, r8, cfg)
+        valid = disp >= 0
+        ms["speckle"] = _timed_device_loop(
+            lambda d: speckle(d, valid, cfg), disp, iters=n) * 1e3
+        if cfg.median_filter:
+            ms["median3"] = _timed_device_loop(median3, disp, iters=n) * 1e3
+        return {k: round(v, 3) for k, v in ms.items()}
     # same census gate as pipeline/sgbm.py so the profile measures the path
     # the production pipeline actually runs (<= 64 bits, two uint32 planes)
     if (mode != "off" and cfg.census_bits <= 64

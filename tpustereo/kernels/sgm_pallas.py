@@ -109,6 +109,16 @@ BWD_BF16 = False
 # per-step blocks are (R, N, D) x 2 volumes — coarser steps amortise the
 # double-buffer boundaries if anything does). Flip + jax.clear_caches().
 BWD_ROWS = 1
+
+# Adaptive-P2 map layout in the sweep kernels: split the (T, N, K) stack
+# into K separate (T, N, 1) operands so the per-row per-direction read is
+# a straight (N, 1) block load instead of a lane slice at offset k.
+# MEASURED r51: a clear LOSS — standalone vertical sweep 5.61 ms split vs
+# 3.29 stacked (3.11 no-p2 control; the in-kernel lane slice costs only
+# ~0.18 ms/sweep, while 3 separate 128-lane-padded (R, N, 1) block
+# streams triple the map DMA), full adaptive pipeline 56.35 vs 56.70
+# fps. Default OFF (stacked); kept exact + tested for re-measurement.
+SPLIT_P2 = False
 # Padded-lane / fresh-path sentinel: a power of two is exact in bf16, and
 # 16384's coarse rounding (spacing 128) keeps renormalized padded carries
 # >= ~16k — far above any real candidate — forever. (A small sentinel
@@ -368,7 +378,7 @@ def _min_lanes_full(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
-                  n_s, has_p2m, has_init, has_fin, g_frame,
+                  n_s, n_p2, has_init, has_fin, g_frame,
                   emit_t=False, batch_k=False, swar=False, bf16=False):
     """One grid step = R scanlines, walked serially in-register (reversed
     for reverse sweeps). rest = (*s_refs, [p2_ref], [init_ref], out_ref,
@@ -388,8 +398,10 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
     idx = 0
     s_refs = rest[:n_s]
     idx += n_s
-    p2_ref = rest[idx] if has_p2m else None
-    idx += 1 if has_p2m else 0
+    # adaptive-P2 operands: one stacked (R, N, K) ref, or K split
+    # (R, N, 1) refs (SPLIT_P2 — no per-row lane slicing in-kernel)
+    p2_refs = rest[idx:idx + n_p2]
+    idx += n_p2
     init_ref = rest[idx] if has_init else None
     idx += 1 if has_init else 0
     out_ref = rest[idx]
@@ -447,10 +459,12 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
                                cb)
             total = None
             for k, dx in enumerate(dxs):
-                if p2_ref is not None:
+                if len(p2_refs) > 1:      # split layout: straight block read
+                    p2k = p2_refs[k][j].astype(jnp.bfloat16)      # (N, 1)
+                elif p2_refs:
                     # adaptive P2: per-pixel values <= p2 stay bf16-exact
                     # under the same c_max + p2 <= 255 gate
-                    p2k = p2_ref[j][:, k:k + 1].astype(jnp.bfloat16)
+                    p2k = p2_refs[0][j][:, k:k + 1].astype(jnp.bfloat16)
                 else:
                     p2k = p2_const
                 qn, L = _dir_step_bf16(carry_ref[k], cb, dx, row_idx,
@@ -539,8 +553,10 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
         else:
             total = None
             for k, dx in enumerate(dxs):
-                if p2_ref is not None:
-                    p2 = p2_ref[j][:, k:k + 1]
+                if len(p2_refs) > 1:
+                    p2 = p2_refs[k][j]                            # (N, 1)
+                elif p2_refs:
+                    p2 = p2_refs[0][j][:, k:k + 1]
                 else:
                     p2 = p2_const
                 qn, L = _dir_step_v32(carry_ref[k], c, dx, row_idx,
@@ -631,7 +647,8 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     # (+ optional init slab) must stay under ~12 MB of the ~16 MB VMEM.
     per_row = N * D * (C.dtype.itemsize + 2 * len(s_list) + 2)
     if p2_maps is not None:
-        per_row += 4 * N * K
+        # minor-dim K (or 1, split) lane-pads to 128 in VMEM
+        per_row += 4 * N * 128 * (K if (SPLIT_P2 and K > 1) else 1)
     fixed = 4 * K * N * D * (2 if init_carry is not None else 1)
     budget = 12 * 1024 * 1024 - fixed
     r_max = max(1, budget // max(1, 2 * per_row))
@@ -655,10 +672,21 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
         operands.append(s)
     if s_list:
         aliases = {1: 0}
+    n_p2 = 0
     if p2_maps is not None:
-        in_specs.append(pl.BlockSpec((R, N, K), imap,
-                                     memory_space=pltpu.VMEM))
-        operands.append(p2_maps)
+        if SPLIT_P2 and K > 1:
+            # one (T, N, 1) operand per direction (XLA slices outside) —
+            # the kernel reads straight (N, 1) blocks, no lane slicing
+            for k in range(K):
+                in_specs.append(pl.BlockSpec((R, N, 1), imap,
+                                             memory_space=pltpu.VMEM))
+                operands.append(p2_maps[:, :, k:k + 1])
+            n_p2 = K
+        else:
+            in_specs.append(pl.BlockSpec((R, N, K), imap,
+                                         memory_space=pltpu.VMEM))
+            operands.append(p2_maps)
+            n_p2 = 1
     if init_carry is not None:
         in_specs.append(pl.BlockSpec((K, N, D), whole, memory_space=pltpu.VMEM))
         operands.append(init_carry.astype(jnp.int32))
@@ -692,7 +720,7 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     kernel = functools.partial(
         _sweep_kernel, dxs=tuple(dxs), p1=p1, p2_const=p2, n_real=n_real,
         d_real=d_real, R=R, reverse=reverse,
-        n_s=len(s_list), has_p2m=p2_maps is not None,
+        n_s=len(s_list), n_p2=n_p2,
         has_init=init_carry is not None, has_fin=return_final_carry,
         g_frame=G // frames, emit_t=emit_transposed,
         batch_k=BATCH_DIRS and K > 1 and p2_maps is None, swar=swar,
