@@ -312,7 +312,9 @@ def test_sgbm_frames_4path(rng):
     "D,blk,d0,uniq,subp,d12",
     [(16, 5, 0, 0, False, -1), (32, 9, 0, 10, True, 1),
      (32, 9, 3, 10, True, -1), (16, 11, 0, 0, True, 1),
-     (32, 5, 3, 5, False, 2), (16, 9, 0, 10, False, 0)])
+     (32, 5, 3, 5, False, 2), (16, 9, 0, 10, False, 0),
+     (128, 9, 0, 10, True, 1),    # D > W: search wider than the image
+     (96, 9, 40, 10, True, 1)])   # large min_disparity + D > W - d0
 def test_sad_fused_matches_jnp(rng, D, blk, d0, uniq, subp, d12):
     """Fused plane-sweep SAD kernel (kernels/sad_pallas.py) is bit-exact
     vs the jnp sad_volume + wta + lr_check path across the knob matrix
@@ -877,3 +879,34 @@ def test_pipeline_d512_pallas_matches_jnp(mode, D, d0):
         # the content check is meaningful for the aggregated mode only)
         sel = a >= 256
         assert sel.mean() > 0.2, sel.mean()
+
+
+def test_sweep_p2_layouts_match(rng):
+    """Lane-major (T//128, N, 128) vs stacked (T,N,K) vs split
+    K x (T,N,1) adaptive-map operands (sgm_pallas.P2_LANE_MAJOR /
+    SPLIT_P2) produce identical sweeps, forward and reverse, at
+    T > 128 (multiple lane-major blocks)."""
+    import jax
+    import tpustereo.kernels.sgm_pallas as sp
+    from tpustereo.kernels.sgm_pallas import sgm_sweep
+    T, N, D = 160, 32, 128
+    C = jnp.asarray(rng.integers(0, 25, (T, N, D), dtype=np.int32))
+    P2M = jnp.asarray(rng.integers(11, 121, (T, N, 3), dtype=np.int32))
+    outs = {}
+    old = sp.SPLIT_P2, sp.P2_LANE_MAJOR
+    try:
+        for name, lm, split in (("lanemajor", True, False),
+                                ("stacked", False, False),
+                                ("split", False, True)):
+            sp.P2_LANE_MAJOR, sp.SPLIT_P2 = lm, split
+            jax.clear_caches()
+            outs[name] = [np.asarray(sgm_sweep(
+                C, None, (0, 1, -1), rev, p1=10, p2=120, n_real=N,
+                d_real=D, p2_maps=P2M, interpret=True))
+                for rev in (False, True)]
+    finally:
+        sp.SPLIT_P2, sp.P2_LANE_MAJOR = old
+        jax.clear_caches()
+    for name in ("stacked", "split"):
+        for a, b in zip(outs["lanemajor"], outs[name]):
+            np.testing.assert_array_equal(a, b, err_msg=name)

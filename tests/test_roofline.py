@@ -86,8 +86,9 @@ def test_resolve_impl_mirrors_dispatch_gates():
     import jax
     from tpustereo.eval.roofline import resolve_impl
     import tpustereo.kernels.sgm_pallas as sp
-    old = sp.SWEEP_BF16, sp.BWD_BF16, sp.SWEEP_SWAR
+    old = sp.SWEEP_BF16, sp.BWD_BF16, sp.SWEEP_SWAR, sp.P2_LANE_MAJOR
     sp.SWEEP_BF16, sp.BWD_BF16, sp.SWEEP_SWAR = True, False, True
+    sp.P2_LANE_MAJOR = True
     jax.clear_caches()
     try:
         assert resolve_impl(Config()) == ("bf16", "swar")
@@ -98,10 +99,17 @@ def test_resolve_impl_mirrors_dispatch_gates():
         # c_max + p2 past 255 -> SWAR; past SWAR's field headroom -> v32
         assert resolve_impl(Config(p2=240))[0] == "swar"
         assert resolve_impl(Config(p1=8000, p2=9000)) == ("v32", "v32")
-        # adaptive_p2: p2_maps exclude SWAR everywhere and any packed bwd
+        # adaptive_p2: p2_maps exclude SWAR sweeps; the bwd recurrence
+        # rides SWAR through the lane-major map layout (r53), and drops
+        # to v32 only when that layout is toggled off
+        assert resolve_impl(Config(adaptive_p2=True)) == ("bf16", "swar")
+        assert resolve_impl(Config(adaptive_p2=True, p2=240)) == \
+            ("v32", "swar")
+        sp.P2_LANE_MAJOR = False
         assert resolve_impl(Config(adaptive_p2=True)) == ("bf16", "v32")
         assert resolve_impl(Config(adaptive_p2=True, p2=240)) == \
             ("v32", "v32")
+        sp.P2_LANE_MAJOR = True
         # shape gate: single-frame odd-height (H=375 -> N=376, % 16 != 0)
         # demotes the bwd recurrence to v32; F=4 restores alignment
         assert resolve_impl(Config(), (375, 1242), frames=1) == \
@@ -115,7 +123,8 @@ def test_resolve_impl_mirrors_dispatch_gates():
         m = sgm_ops_model(Config(frames_per_step=4), (375, 1242))
         assert m["impl"] == {"sweeps": "bf16", "bwd": "swar"}
     finally:
-        sp.SWEEP_BF16, sp.BWD_BF16, sp.SWEEP_SWAR = old
+        (sp.SWEEP_BF16, sp.BWD_BF16, sp.SWEEP_SWAR,
+         sp.P2_LANE_MAJOR) = old
         jax.clear_caches()
 
 

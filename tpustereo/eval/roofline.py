@@ -187,17 +187,21 @@ def resolve_impl(cfg: Config, shape: Optional[Tuple[int, int]] = None,
     from tpustereo.kernels import sgm_pallas as sp
     bf_ok = (cfg.max_census_cost + cfg.p2 <= 255
              and cfg.num_disparities <= 256)  # r44 VMEM bound
-    swar_ok = (cfg.p1 + cfg.p2 + 256 < sp._BIG16
-               and not cfg.adaptive_p2)       # SWAR gates exclude p2_maps
+    swar_ok = cfg.p1 + cfg.p2 + 256 < sp._BIG16
+    # the SWEEP SWAR gate excludes p2_maps outright; the bwd packed gates
+    # admit adaptive maps through the lane-major layout (r53)
+    adaptive_bwd_ok = not cfg.adaptive_p2 or sp.P2_LANE_MAJOR
     aligned = True
     if shape is not None:
         F = cfg.frames_per_step if frames is None else frames
         aligned = (F * _round_up(shape[0], 8)) % 16 == 0
     sweep = ("bf16" if (sp.SWEEP_BF16 and bf_ok) else
-             "swar" if (sp.SWEEP_SWAR and swar_ok) else "v32")
-    bwd = ("bf16" if (sp.BWD_BF16 and bf_ok and not cfg.adaptive_p2
+             "swar" if (sp.SWEEP_SWAR and swar_ok
+                        and not cfg.adaptive_p2) else "v32")
+    bwd = ("bf16" if (sp.BWD_BF16 and bf_ok and adaptive_bwd_ok
                       and aligned) else
-           "swar" if (sp.SWEEP_SWAR and swar_ok and aligned) else "v32")
+           "swar" if (sp.SWEEP_SWAR and swar_ok and adaptive_bwd_ok
+                      and aligned) else "v32")
     return sweep, bwd
 
 

@@ -119,6 +119,31 @@ BWD_ROWS = 1
 # streams triple the map DMA), full adaptive pipeline 56.35 vs 56.70
 # fps. Default OFF (stacked); kept exact + tested for re-measurement.
 SPLIT_P2 = False
+
+# Lane-major adaptive-P2 maps: a (T, N, small-K) Pallas operand is forced
+# into the (8, 128)-tiled layout, padding K up to 128 LANES — the fused
+# adaptive pipeline writes AND streams ~42x the real map bytes (the r52
+# attribution's unexplained ~3.4 ms composition residual). Lane-major
+# packs each direction's (T, N) map as (ceil(T/128), N, 128) with the
+# SCAN ROW on the lane axis — dense, zero padding — fetched once per 128
+# rows (revisited block) and extracted per row by an exact one-hot MXU
+# dot ((N, 128) @ (128, 1) at Precision.HIGHEST; values < 2^24). The
+# (T, N, K) stack never reaches a pallas_call, so XLA keeps it in a
+# compact internal layout (or fuses it away entirely). R must be 1
+# (rows never straddle a 128-block). Toggle + jax.clear_caches().
+P2_LANE_MAJOR = True
+
+
+def _p2_lane_major(p2_maps: jnp.ndarray):
+    """(T, N, K) int32 -> list of K dense (ceil(T/128), N, 128) arrays
+    (scan row t lives at block t//128, lane t%128)."""
+    T, N, K = p2_maps.shape
+    Tb = (T + 127) // 128
+    out = []
+    for k in range(K):
+        m = jnp.pad(p2_maps[:, :, k], ((0, Tb * 128 - T), (0, 0)))
+        out.append(jnp.swapaxes(m.reshape(Tb, 128, N), 1, 2))
+    return out
 # Padded-lane / fresh-path sentinel: a power of two is exact in bf16, and
 # 16384's coarse rounding (spacing 128) keeps renormalized padded carries
 # >= ~16k — far above any real candidate — forever. (A small sentinel
@@ -154,15 +179,21 @@ def _swar_sgm_step(q, cp, laneH, D, p1, p2_const):
     """One packed dx=0 SGM recurrence step shared by _sweep_kernel and
     _bwd_wta_kernel (ONE copy of the bit-trick family: a Mosaic workaround
     applied here reaches both kernels — the r30f lesson). q, cp: (M, D)
-    halves-packed; returns (q_next, L) packed."""
+    halves-packed; returns (q_next, L) packed. p2_const: a scalar int
+    (packed to both fields here), or an already-FIELD-PACKED (M, 1)/(M, D)
+    int32 array — per-row adaptive P2' via the lane-major maps (each
+    field's clip applies to its own row; _swar_min broadcasts)."""
     big2 = (_BIG16 << 16) | _BIG16
     up = _roll(q, -1, axis=1)
     up = jnp.where(laneH == D - 1, big2, up)
     dn = _roll(q, 1, axis=1)
     dn = jnp.where(laneH == 0, big2, dn)
+    if isinstance(p2_const, jnp.ndarray):
+        p2pk = jnp.broadcast_to(p2_const, q.shape)
+    else:
+        p2pk = jnp.full(q.shape, (p2_const << 16) | p2_const, jnp.int32)
     cand = _swar_min(_swar_min(q, _swar_min(up, dn) + ((p1 << 16) | p1)),
-                     jnp.full(q.shape, (p2_const << 16) | p2_const,
-                              jnp.int32))
+                     p2pk)
     L = cp + cand
     return L - _swar_tree_min(L), L
 
@@ -378,7 +409,7 @@ def _min_lanes_full(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
-                  n_s, n_p2, has_init, has_fin, g_frame,
+                  n_s, n_p2, p2_lm, has_init, has_fin, g_frame,
                   emit_t=False, batch_k=False, swar=False, bf16=False):
     """One grid step = R scanlines, walked serially in-register (reversed
     for reverse sweeps). rest = (*s_refs, [p2_ref], [init_ref], out_ref,
@@ -440,6 +471,20 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
     K = len(dxs)
 
+    if p2_lm:
+        # lane-major maps (P2_LANE_MAJOR): scan row r lives at lane
+        # r % 128 of the (N, 128) block; extract the (N, 1) column with
+        # an exact one-hot MXU dot (values < 2^24, Precision.HIGHEST)
+        base = ((pl.num_programs(0) - 1 - t) if reverse else t) * R
+        lane128c = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+
+        def p2_read(k, j):
+            oh = (lane128c == jax.lax.rem(base + j, 128)).astype(
+                jnp.float32)
+            return jnp.dot(p2_refs[k][0].astype(jnp.float32), oh,
+                           precision=jax.lax.Precision.HIGHEST
+                           ).astype(jnp.int32)
+
     if emit_t:
         sub = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 2)
     order = range(R - 1, -1, -1) if reverse else range(R)
@@ -459,7 +504,9 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
                                cb)
             total = None
             for k, dx in enumerate(dxs):
-                if len(p2_refs) > 1:      # split layout: straight block read
+                if p2_lm:
+                    p2k = p2_read(k, j).astype(jnp.bfloat16)      # (N, 1)
+                elif len(p2_refs) > 1:    # split layout: straight block read
                     p2k = p2_refs[k][j].astype(jnp.bfloat16)      # (N, 1)
                 elif p2_refs:
                     # adaptive P2: per-pixel values <= p2 stay bf16-exact
@@ -553,7 +600,9 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
         else:
             total = None
             for k, dx in enumerate(dxs):
-                if len(p2_refs) > 1:
+                if p2_lm:
+                    p2 = p2_read(k, j)                            # (N, 1)
+                elif len(p2_refs) > 1:
                     p2 = p2_refs[k][j]                            # (N, 1)
                 elif p2_refs:
                     p2 = p2_refs[0][j][:, k:k + 1]
@@ -647,9 +696,14 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     # (+ optional init slab) must stay under ~12 MB of the ~16 MB VMEM.
     per_row = N * D * (C.dtype.itemsize + 2 * len(s_list) + 2)
     if p2_maps is not None:
-        # minor-dim K (or 1, split) lane-pads to 128 in VMEM
-        per_row += 4 * N * 128 * (K if (SPLIT_P2 and K > 1) else 1)
+        if P2_LANE_MAJOR:
+            pass  # K dense (N, 128) blocks, counted in `fixed` below
+        else:
+            # minor-dim K (or 1, split) lane-pads to 128 in VMEM
+            per_row += 4 * N * 128 * (K if (SPLIT_P2 and K > 1) else 1)
     fixed = 4 * K * N * D * (2 if init_carry is not None else 1)
+    if p2_maps is not None and P2_LANE_MAJOR:
+        fixed += 2 * 4 * N * 128 * K  # double-buffered lane-major blocks
     budget = 12 * 1024 * 1024 - fixed
     r_max = max(1, budget // max(1, 2 * per_row))
     assert frames == 1 or (init_carry is None and not return_final_carry), \
@@ -673,8 +727,21 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     if s_list:
         aliases = {1: 0}
     n_p2 = 0
+    p2_lm = False
     if p2_maps is not None:
-        if SPLIT_P2 and K > 1:
+        if P2_LANE_MAJOR and R == 1:
+            # dense lane-major blocks: row r at block r//128, lane r%128
+            def lm_blk(g):
+                r = (G - 1 - g) if reverse else g
+                return (r // 128, 0, 0)
+
+            for m in _p2_lane_major(p2_maps):
+                in_specs.append(pl.BlockSpec((1, N, 128), lm_blk,
+                                             memory_space=pltpu.VMEM))
+                operands.append(m)
+            n_p2 = K
+            p2_lm = True
+        elif SPLIT_P2 and K > 1:
             # one (T, N, 1) operand per direction (XLA slices outside) —
             # the kernel reads straight (N, 1) blocks, no lane slicing
             for k in range(K):
@@ -720,7 +787,7 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     kernel = functools.partial(
         _sweep_kernel, dxs=tuple(dxs), p1=p1, p2_const=p2, n_real=n_real,
         d_real=d_real, R=R, reverse=reverse,
-        n_s=len(s_list), n_p2=n_p2,
+        n_s=len(s_list), n_p2=n_p2, p2_lm=p2_lm,
         has_init=init_carry is not None, has_fin=return_final_carry,
         g_frame=G // frames, emit_t=emit_transposed,
         batch_k=BATCH_DIRS and K > 1 and p2_maps is None, swar=swar,
@@ -967,7 +1034,8 @@ def _wta_from_S(S, amin, lane, D, d_real, cfg, mxu):
 
 
 def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, d_real,
-                    w_real, R, has_p2m, mxu, swar=False, bf16=False):
+                    w_real, R, has_p2m, p2_lm=False, mxu=True,
+                    swar=False, bf16=False):
     """Grid step g = columns x in [xb, xb+R), xb = (G-1-g)*R, walked in
     descending order: runs the W (backward-horizontal) SGM step, completes S
     for each column, and does WTA + uniqueness + subpixel immediately — S
@@ -999,6 +1067,17 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, d_real,
         amin_ref[...] = jnp.full((N, D), _BIGPACK << _pack_shift(D),
                                  jnp.int32)
 
+    if p2_lm:
+        # lane-major map (P2_LANE_MAJOR): column x at lane x % 128 of the
+        # (N, 128) block; exact one-hot MXU extraction (see _sweep_kernel)
+        lane128c = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+
+        def p2_read(x):
+            oh = (lane128c == jax.lax.rem(x, 128)).astype(jnp.float32)
+            return jnp.dot(p2_ref[0].astype(jnp.float32), oh,
+                           precision=jax.lax.Precision.HIGHEST
+                           ).astype(jnp.int32)
+
     for j in range(R - 1, -1, -1):
         x = xb + j
         c = c_ref[j].astype(jnp.int32)
@@ -1011,8 +1090,12 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, d_real,
             cb = c.astype(jnp.bfloat16)
             if d_real < D:
                 cb = jnp.where(lane >= d_real, jnp.bfloat16(_BF_BIG), cb)
+            # lane-major adaptive maps: per-row P2' column (values <= p2
+            # stay bf16-exact under the same c_max + p2 <= 255 gate)
+            p2b = (p2_read(x).astype(jnp.bfloat16) if p2_lm
+                   else p2_const)
             qn, L = _dir_step_bf16(carry_ref[...], cb, 0, None, lane,
-                                   0, D, p1, p2_const)
+                                   0, D, p1, p2b)
             S = s_ref[j].astype(jnp.int32) + L.astype(jnp.int32)
             o1, deltas, amin_next = _wta_from_S(S, amin_ref[...], lane, D,
                                                 d_real, cfg, mxu)
@@ -1029,8 +1112,15 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, d_real,
             cp = (c[:Hh] << 16) | c[Hh:]
             if d_real < D:
                 cp = jnp.where(laneH >= d_real, (_BIG16 << 16) | _BIG16, cp)
+            if p2_lm:
+                # per-row adaptive P2' packed into the row-halves fields
+                # (hi = row i, lo = row i + N/2, matching cp's pairing)
+                p2c = p2_read(x)
+                p2pk = (p2c[:Hh] << 16) | p2c[Hh:]
+            else:
+                p2pk = p2_const
             qn, L = _swar_sgm_step(carry_ref[...], cp, laneH, D, p1,
-                                   p2_const)
+                                   p2pk)
             s32 = s_ref[j].astype(jnp.int32)
             o1h, o2h, amin_h = _wta_from_S(s32[:Hh] + (L >> 16),
                                            amin_ref[:Hh], laneH, D, d_real,
@@ -1055,7 +1145,9 @@ def _bwd_wta_kernel(c_ref, s_ref, *rest, cfg, p1, p2_const, d_real,
             up = jnp.where(lane == D - 1, _BIG, up)
             dn = _roll(q, 1, axis=1)
             dn = jnp.where(lane == 0, _BIG, dn)
-            if p2_ref is not None:
+            if p2_ref is not None and p2_lm:
+                p2 = p2_read(x)
+            elif p2_ref is not None:
                 p2 = p2_ref[j][:, 0:1]
             else:
                 p2 = p2_const
@@ -1114,9 +1206,13 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
         rows_per_step = BWD_ROWS
     # VMEM budget (see sgm_sweep): Ct + St slabs double-buffered + two
     # (N, D) scratch slabs + the revisited (N, 128) output blocks
-    per_row = N * D * (Ct.dtype.itemsize + 2) + (4 * N if p2_maps is not None
-                                                 else 0)
+    per_row = N * D * (Ct.dtype.itemsize + 2)
     fixed = 2 * 4 * N * D + 4 * 4 * N * 128
+    if p2_maps is not None:
+        if P2_LANE_MAJOR:
+            fixed += 2 * 4 * N * 128     # dense lane-major block
+        else:
+            per_row += 4 * N * 128       # (R, N, 1) lane-pads to 128
     r_max = max(1, (12 * 1024 * 1024 - fixed) // max(1, 2 * per_row))
     # output blocks are 128 columns: a step must stay inside one, so R is
     # the largest power of two within budget (any power of two <= 128
@@ -1137,24 +1233,38 @@ def sweep_bwd_wta(Ct: jnp.ndarray, St: jnp.ndarray, cfg: Config,
     in_specs = [pl.BlockSpec((R, N, D), imap, memory_space=pltpu.VMEM),
                 pl.BlockSpec((R, N, D), imap, memory_space=pltpu.VMEM)]
     operands = [Ct, St]
+    p2_lm = False
     if p2_maps is not None:
-        in_specs.append(pl.BlockSpec((R, N, 1), imap,
-                                     memory_space=pltpu.VMEM))
-        operands.append(p2_maps)
+        if P2_LANE_MAJOR:
+            # dense lane-major block: column x at block x//128, lane x%128
+            # (a step's R <= 128 columns never straddle a block — the same
+            # invariant the output RMW blocks rely on)
+            in_specs.append(pl.BlockSpec(
+                (1, N, 128), lambda g: (((G - 1 - g) * R) // 128, 0, 0),
+                memory_space=pltpu.VMEM))
+            operands.append(_p2_lane_major(p2_maps)[0])
+            p2_lm = True
+        else:
+            in_specs.append(pl.BlockSpec((R, N, 1), imap,
+                                         memory_space=pltpu.VMEM))
+            operands.append(p2_maps)
 
     # bf16 / SWAR gates for the embedded SGM recurrence (same constraints
     # as sgm_sweep; dx = 0 so no seam/OOB machinery is involved). The
     # census bound is the true c_max here — Ct always comes from the cost
-    # kernel in this pipeline.
-    bf16 = (BWD_BF16 and p2_maps is None
+    # kernel in this pipeline. Lane-major maps (p2_lm) deliver per-row
+    # P2' as a plain (N, 1) column, so adaptive configs ride the packed
+    # recurrences too (SWAR packs the halves' P2' into fields; bf16 takes
+    # the column directly — r53).
+    bf16 = (BWD_BF16 and (p2_maps is None or p2_lm)
             and N % 16 == 0 and cfg.max_census_cost + cfg.p2 <= 255
             and D <= 256)  # same VMEM bound as the sweeps (r44 OOM)
-    swar = (not bf16 and SWEEP_SWAR and p2_maps is None
+    swar = (not bf16 and SWEEP_SWAR and (p2_maps is None or p2_lm)
             and N % 16 == 0 and cfg.p1 + cfg.p2 + 256 < _BIG16)
     kernel = functools.partial(
         _bwd_wta_kernel, cfg=cfg, p1=cfg.p1, p2_const=cfg.p2,
         d_real=d_real, w_real=w_real, R=R, has_p2m=p2_maps is not None,
-        mxu=MXU_REFINE, swar=swar, bf16=bf16)
+        p2_lm=p2_lm, mxu=MXU_REFINE, swar=swar, bf16=bf16)
 
     o1, o2 = pl.pallas_call(
         kernel,
