@@ -478,9 +478,12 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
         base = ((pl.num_programs(0) - 1 - t) if reverse else t) * R
         lane128c = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
 
-        def p2_read(k, j):
-            oh = (lane128c == jax.lax.rem(base + j, 128)).astype(
+        def p2_onehot(j):
+            # one one-hot per scan row, shared by all K directions
+            return (lane128c == jax.lax.rem(base + j, 128)).astype(
                 jnp.float32)
+
+        def p2_read(k, oh):
             return jnp.dot(p2_refs[k][0].astype(jnp.float32), oh,
                            precision=jax.lax.Precision.HIGHEST
                            ).astype(jnp.int32)
@@ -503,9 +506,10 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
                 cb = jnp.where(lane_idx >= d_real, jnp.bfloat16(_BF_BIG),
                                cb)
             total = None
+            oh_j = p2_onehot(j) if p2_lm else None
             for k, dx in enumerate(dxs):
                 if p2_lm:
-                    p2k = p2_read(k, j).astype(jnp.bfloat16)      # (N, 1)
+                    p2k = p2_read(k, oh_j).astype(jnp.bfloat16)   # (N, 1)
                 elif len(p2_refs) > 1:    # split layout: straight block read
                     p2k = p2_refs[k][j].astype(jnp.bfloat16)      # (N, 1)
                 elif p2_refs:
@@ -599,9 +603,10 @@ def _sweep_kernel(c_ref, *rest, dxs, p1, p2_const, n_real, d_real, R, reverse,
             total = jnp.sum(L, axis=0)
         else:
             total = None
+            oh_j = p2_onehot(j) if p2_lm else None
             for k, dx in enumerate(dxs):
                 if p2_lm:
-                    p2 = p2_read(k, j)                            # (N, 1)
+                    p2 = p2_read(k, oh_j)                         # (N, 1)
                 elif len(p2_refs) > 1:
                     p2 = p2_refs[k][j]                            # (N, 1)
                 elif p2_refs:
