@@ -128,12 +128,18 @@ def test_fuzz_random_configs_pallas_vs_jnp(rng):
     from tpustereo.data.synthetic import synthetic_pair
     L, R, _, _ = synthetic_pair((40, 56), disparity=5.0, slope=0.04, seed=9)
     l8, r8 = jnp.asarray(L), jnp.asarray(R)
-    for trial in range(5):
+    for trial in range(7):
         disp12 = int(rng.choice([-1, 0, 2]))
         fill = str(rng.choice(["off", "background", "hirschmuller"]))
         if fill == "hirschmuller" and disp12 < 0:
             fill = "background"  # invalid combination (Config rejects it)
+        # trials 5-6 fuzz the non-SGM dispatchers (fused SAD plane-sweep
+        # incl. its off-gate fallbacks, fused census_wta)
+        mode = ("sad" if trial == 5 else
+                "census_wta" if trial == 6 else "sgm")
         cfg = Config(
+            mode=mode,
+            sad_block=int(rng.choice([5, 9, 11, 13])),
             num_disparities=int(rng.choice([16, 32])),
             min_disparity=int(rng.choice([0, 3])),
             census_window=(5, 5) if rng.integers(0, 2) else (7, 5),
