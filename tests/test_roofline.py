@@ -30,8 +30,10 @@ def test_ops_model_paths4_less_than_paths8():
 
 
 def test_ops_model_none_for_non_sgm():
+    # the SGM model declines non-SGM modes; SAD has its own model (r5,
+    # test_sad_roofline_record), census_wta none
     assert sgm_ops_model(Config(mode="sad"), (64, 64)) is None
-    assert roofline(Config(mode="sad"), (64, 64), 0.01) is None
+    assert roofline(Config(mode="census_wta"), (64, 64), 0.01) is None
 
 
 def test_roofline_record_consistency():
@@ -138,3 +140,21 @@ def test_bench_record_carries_roofline():
     rl = r["roofline"]
     assert rl["model"]["path_cell_updates"] == 48 * 64 * 16 * 8
     assert rl["frame"]["achieved_elem_ops_per_s"] > 0
+
+
+def test_sad_roofline_record():
+    """SAD mode gets its own ops/bytes model (the fused plane-sweep
+    kernel; the volume never exists, so HBM is just images + maps)."""
+    from tpustereo.eval.roofline import roofline, sad_ops_model
+    cfg = PRESETS["tsukuba_sad"]
+    m = sad_ops_model(cfg, (288, 384))
+    assert m["planes"] == 64 and m["elem_ops_total"] > 0
+    # two-pass (uniqueness+subpixel) costs more than single-pass
+    m1 = sad_ops_model(cfg.replace(uniqueness_ratio=0, subpixel=False),
+                       (288, 384))
+    assert m1["elem_ops_total"] < m["elem_ops_total"]
+    rec = roofline(cfg, (288, 384), 0.36e-3, device_kind="TPU v5 lite")
+    assert rec["bound"] == "VPU"
+    assert 0 < rec["frame"]["vpu_util_uniform"] < 1
+    assert roofline(cfg.replace(mode="census_wta"), (288, 384),
+                    1e-3) is None

@@ -205,6 +205,42 @@ def resolve_impl(cfg: Config, shape: Optional[Tuple[int, int]] = None,
     return sweep, bwd
 
 
+def sad_ops_model(cfg: Config, shape: Tuple[int, int]) -> Optional[dict]:
+    """Per-frame element-op / HBM-byte model for the fused plane-sweep SAD
+    kernel (kernels/sad_pallas.py), counted from its per-plane op sequence
+    on the padded (band, Wq) slab geometry: pass 1 = incremental roll +
+    |diff| + fill mask + right-edge rebuild (2r) + separable binary box
+    sums (~2*(ceil(log2 b)+popcount_bits(b)) roll+add each axis) + packed
+    WTA min (+3 right-WTA ops when the LR check is on); pass 2 (when
+    uniqueness/subpixel need it) recomputes the plane and adds the
+    exclusion min + two capture selects. HBM is just images in + 4 maps
+    out — the volume never exists."""
+    if cfg.mode != "sad":
+        return None
+    H, W = shape
+    D = cfg.num_disparities
+    b = cfg.sad_block
+    r = b // 2
+    with_dr = cfg.disp12_max_diff >= 0
+    band = _round_up(H + b - 1, 8)
+    Wq = _round_up(max(W + 2 * r, (W + D - 1) if with_dr else 0), 128)
+    cells = band * Wq
+    win = 2 * ((b.bit_length() - 1) + bin(b).count("1"))  # per axis
+    plane = 1 + 2 + 2 + 2 * r + 2 * win   # roll+diff+mask+edge+box sums
+    p1_ops = plane + 3 + (3 if with_dr else 0)      # + pack/min (+ A ops)
+    two_pass = cfg.uniqueness_ratio > 0 or cfg.subpixel
+    p2_ops = (plane + 2 + 2 + 6) if two_pass else 0  # d* + m2 + captures
+    total = cells * D * (p1_ops + p2_ops)
+    hbm = 2 * cells * 4 + 4 * cells * 4              # images in, maps out
+    return {
+        "shape": [H, W], "padded": [band, Wq], "planes": D,
+        "elem_ops_total": total,
+        "cross_lane_ops_total": cells * D * (1 + win + (1 if with_dr else 0)
+                                             + (win if two_pass else 0)),
+        "hbm_bytes_total": hbm,
+    }
+
+
 def sgm_ops_model(cfg: Config, shape: Tuple[int, int],
                   swar: Optional[bool] = None,
                   impl: Optional[Tuple[str, str]] = None) -> Optional[dict]:
@@ -315,8 +351,33 @@ def roofline(cfg: Config, shape: Tuple[int, int], sec_per_frame: float,
     bit-ops or the bf16 bitcast-roll sequence — `model_aswritten.impl`
     names it), while the default keys keep the work-normalized v32
     sequence (same cell updates in canonical vector ops)."""
+    if sec_per_frame <= 0:
+        return None
+    if cfg.mode == "sad":
+        ms = sad_ops_model(cfg, shape)
+        name, spec = chip_spec(device_kind)
+        achieved = ms["elem_ops_total"] / sec_per_frame
+        return {
+            "chip_assumed": name,
+            "vpu_peak_elem_gops": round(spec["vpu_elem_ops_per_s"] / 1e9, 1),
+            "hbm_peak_gbps": round(spec["hbm_bytes_per_s"] / 1e9, 1),
+            "model": {k: ms[k] for k in ("elem_ops_total",
+                                         "cross_lane_ops_total",
+                                         "hbm_bytes_total", "padded",
+                                         "planes")},
+            "hbm_gbps_achieved": round(ms["hbm_bytes_total"]
+                                       / sec_per_frame / 1e9, 2),
+            "hbm_util": round(ms["hbm_bytes_total"] / sec_per_frame
+                              / spec["hbm_bytes_per_s"], 4),
+            "frame": {
+                "achieved_elem_ops_per_s": round(achieved / 1e9, 1),
+                "vpu_util_uniform": round(
+                    achieved / spec["vpu_elem_ops_per_s"], 4),
+            },
+            "bound": "VPU",  # the volume never exists; maps are tiny
+        }
     m = sgm_ops_model(cfg, shape, swar=False)   # work-normalized
-    if m is None or sec_per_frame <= 0:
+    if m is None:
         return None
     m_asw = sgm_ops_model(cfg, shape)           # toggle-dispatched
     if m_asw is not None and m_asw["impl"] == m["impl"]:
