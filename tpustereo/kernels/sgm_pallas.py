@@ -110,6 +110,14 @@ BWD_BF16 = False
 # double-buffer boundaries if anything does). Flip + jax.clear_caches().
 BWD_ROWS = 1
 
+# Scanlines per grid step of the directional sweeps. The r20 R-study
+# (R=1 fastest) ran on the pre-bf16 step; bf16 halves per-row compute
+# and the tradeoff INVERTED — r56/r57 headline A/B: R=1 79.82, R=2
+# 80.50, R=4 80.86 fps, exact on chip. R=4 adopted (it is also the
+# VMEM/divisibility cap at KITTI geometry); adaptive-map sweeps pin R=1
+# for the lane-major layout. Flip + jax.clear_caches().
+SWEEP_ROWS = 4
+
 # Adaptive-P2 map layout in the sweep kernels: split the (T, N, K) stack
 # into K separate (T, N, 1) operands so the per-row per-direction read is
 # a straight (N, 1) block load instead of a lane slice at offset k.
@@ -691,12 +699,21 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
         if rows_per_step <= 0:
             rows_per_step = 4   # cost-kernel _ROWS: proven rank-4 geometry
     if rows_per_step <= 0:
-        # R=1 measured fastest on-chip for the wide vertical sweeps (6.40 ms
-        # vs 6.64 at R=4, 6.88 at R=8 for the KITTI 3-direction sweep): the
-        # kernels are VPU-compute-bound, so fattening only adds DMA
-        # granularity with nothing to amortise. Larger R remains available
-        # for experimentation; the VMEM budget below still caps it.
-        rows_per_step = 1
+        # The r20 R-study (R=1 fastest: 6.40 vs 6.64 at R=4) ran on the
+        # pre-bf16 step; with bf16 halving per-row compute the tradeoff
+        # INVERTED — r56 headline: R=1 79.82, R=2 80.50, R=4 80.86 fps
+        # (exact on chip), and R=4 is also the VMEM/divisibility cap at
+        # KITTI geometry. SWEEP_ROWS carries the adopted default; sweeps
+        # with adaptive maps keep R=1 (the lane-major layout — worth far
+        # more there, r53 +25% — requires steps that never straddle a
+        # 128-row block).
+        # D > 128 keeps R=1: the VMEM budget caps those sweeps at R=2,
+        # which measured a LOSS there (r57 d256 F=2: 37.5 vs 38.6 fps at
+        # R=1) while R=4 wins at D=128 — the inversion only pays when the
+        # full fattening fits
+        rows_per_step = (1 if (p2_maps is not None and P2_LANE_MAJOR)
+                         or D > 128
+                         else (SWEEP_ROWS or 1))
     # VMEM budget: 2x-buffered per-row slabs + the (K, N, D) carry scratch
     # (+ optional init slab) must stay under ~12 MB of the ~16 MB VMEM.
     per_row = N * D * (C.dtype.itemsize + 2 * len(s_list) + 2)
