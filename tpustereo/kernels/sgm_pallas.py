@@ -104,11 +104,13 @@ SWEEP_BF16 = True
 BWD_BF16 = False
 # Columns per grid step of the bwd+WTA kernel (power of two <= 128; the
 # masked-RMW output blocks are 128 wide, so a step must stay inside one).
-# R=1 mirrors the sweeps' measured-fastest setting; this toggle exists for
-# the r47 on-chip A/B of DMA-granularity fattening (the bwd kernel's
-# per-step blocks are (R, N, D) x 2 volumes — coarser steps amortise the
-# double-buffer boundaries if anything does). Flip + jax.clear_caches().
-BWD_ROWS = 1
+# The r47 A/B at sweeps-R=1 read a wash (+0.07 fps); re-measured at the
+# r57 SWEEP_ROWS=4 baseline it is a small consistent win — r59 headline:
+# R=1 80.79, R=8 81.03, R=32 81.02 fps. R=8 adopted (bit-identical to
+# R=1 on chip at KITTI geometry, r47/r60; the per-step (R, N, D) x 2
+# volume blocks amortise double-buffer boundaries).
+# Flip + jax.clear_caches().
+BWD_ROWS = 8
 
 # Scanlines per grid step of the directional sweeps. The r20 R-study
 # (R=1 fastest) ran on the pre-bf16 step; bf16 halves per-row compute
