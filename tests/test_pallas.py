@@ -916,3 +916,48 @@ def test_sweep_p2_layouts_match(rng):
     for name in ("stacked", "split"):
         for a, b in zip(outs["lanemajor"], outs[name]):
             np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+@pytest.mark.slow
+def test_sweep_rows_matrix(rng):
+    """Row-fattened sweep steps (SWEEP_ROWS, adopted R=4 in r56/57) are
+    bit-identical to R=1 for every rows_per_step, including a
+    non-divisor request (want=8 on T=20 clamps to the divisor 5 via
+    _fit_rows) and the bf16 step (c_max + p2 <= 255 turns SWEEP_BF16
+    on — the exact surface the r56 inversion adopted)."""
+    from tpustereo.kernels.sgm_pallas import sgm_sweep
+    T, N, D = 20, 32, 128
+    C = jnp.asarray(rng.integers(0, 25, (T, N, D)).astype(np.int8))
+    for c_max in (255, 25):          # 255 keeps bf16 off; 25 turns it on
+        for rev in (False, True):
+            ref = np.asarray(sgm_sweep(
+                C, None, (0, 1, -1), rev, p1=10, p2=120, n_real=28,
+                d_real=D, rows_per_step=1, c_max=c_max, interpret=True))
+            for want in (2, 4, 8):
+                out = np.asarray(sgm_sweep(
+                    C, None, (0, 1, -1), rev, p1=10, p2=120, n_real=28,
+                    d_real=D, rows_per_step=want, c_max=c_max,
+                    interpret=True))
+                np.testing.assert_array_equal(
+                    out, ref, err_msg=f"R={want} c_max={c_max} rev={rev}")
+
+
+@pytest.mark.slow
+def test_bwd_rows_matrix(rng):
+    """Column-fattened bwd+WTA steps (BWD_ROWS, adopted R=8 in r59/60)
+    are bit-identical to R=1 across the packing-relevant output maps,
+    with scan-axis padding (w_real < T) crossing a step boundary."""
+    from tpustereo.kernels.sgm_pallas import sweep_bwd_wta
+    T, N, D = 128, 32, 128
+    Ct = jnp.asarray(rng.integers(0, 25, (T, N, D)).astype(np.int8))
+    St = jnp.asarray(rng.integers(0, 500, (T, N, D)).astype(np.int16))
+    cfg = Config()
+    ref = [np.asarray(v) for v in sweep_bwd_wta(
+        Ct, St, cfg, w_real=120, d_real=D, rows_per_step=1,
+        interpret=True)]
+    for want in (8, 32):
+        out = [np.asarray(v) for v in sweep_bwd_wta(
+            Ct, St, cfg, w_real=120, d_real=D, rows_per_step=want,
+            interpret=True)]
+        for a, b in zip(out, ref):
+            np.testing.assert_array_equal(a, b, err_msg=f"R={want}")
