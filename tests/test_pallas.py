@@ -961,3 +961,35 @@ def test_bwd_rows_matrix(rng):
             interpret=True)]
         for a, b in zip(out, ref):
             np.testing.assert_array_equal(a, b, err_msg=f"R={want}")
+
+
+@pytest.mark.slow
+def test_sweep_lane_major_rows_matrix(rng):
+    """ADAPTIVE_SWEEP_ROWS: lane-major adaptive-map sweeps at R in
+    {2, 4} are bit-identical to the shipped R=1, forward and reverse,
+    at T=256 (two lane-major blocks, so fattened steps cross the
+    128-row block boundary) and at a non-divisor request (want=8 on
+    T=20 -> _fit_rows 5 -> the 128%R guard walks it down to 4)."""
+    import jax
+    import tpustereo.kernels.sgm_pallas as sp
+    from tpustereo.kernels.sgm_pallas import sgm_sweep
+    for T, wants in ((256, (2, 4)), (20, (8,))):
+        C = jnp.asarray(rng.integers(0, 25, (T, 32, 128), dtype=np.int32))
+        P2M = jnp.asarray(rng.integers(11, 121, (T, 32, 3), dtype=np.int32))
+        old = sp.ADAPTIVE_SWEEP_ROWS
+        try:
+            outs = {}
+            for want in (1,) + wants:
+                sp.ADAPTIVE_SWEEP_ROWS = want
+                jax.clear_caches()
+                outs[want] = [np.asarray(sgm_sweep(
+                    C, None, (0, 1, -1), rev, p1=10, p2=120, n_real=28,
+                    d_real=128, p2_maps=P2M, interpret=True))
+                    for rev in (False, True)]
+            for want in wants:
+                for a, b in zip(outs[want], outs[1]):
+                    np.testing.assert_array_equal(
+                        a, b, err_msg=f"T={T} R={want}")
+        finally:
+            sp.ADAPTIVE_SWEEP_ROWS = old
+            jax.clear_caches()

@@ -116,9 +116,23 @@ BWD_ROWS = 8
 # (R=1 fastest) ran on the pre-bf16 step; bf16 halves per-row compute
 # and the tradeoff INVERTED — r56/r57 headline A/B: R=1 79.82, R=2
 # 80.50, R=4 80.86 fps, exact on chip. R=4 adopted (it is also the
-# VMEM/divisibility cap at KITTI geometry); adaptive-map sweeps pin R=1
-# for the lane-major layout. Flip + jax.clear_caches().
+# VMEM/divisibility cap at KITTI geometry). Flip + jax.clear_caches().
 SWEEP_ROWS = 4
+# Scanlines per grid step for sweeps carrying LANE-MAJOR adaptive maps
+# (kept separate from SWEEP_ROWS: the r53 lane-major layout shipped with
+# R pinned to 1, but any R dividing 128 keeps a step's rows inside one
+# 128-row map block — the same invariant the bwd kernel's RMW output
+# blocks already rely on at BWD_ROWS=8 — so the r56 R-inversion win is
+# available here too, VMEM permitting: the K double-buffered lane-major
+# blocks shrink r_max vs the non-adaptive sweeps). MEASURED r61 on chip
+# (adaptive kitti8 F=4): R=1 70.46, R=2 70.17, R=4 69.17 fps — the
+# inversion does NOT transfer (the per-row one-hot map extraction is
+# per-row work fattening cannot amortise, and the map blocks' VMEM
+# share clamps the S-carrying sweeps' r_max); R=1 stays the default,
+# exact on chip at the shipped defaults (r61: adaptive single + F=4
+# stacked vs CPU refs, 0 mismatches). R in {2, 4} kept exact +
+# interpret-tested for re-measurement. Flip + jax.clear_caches().
+ADAPTIVE_SWEEP_ROWS = 1
 
 # Adaptive-P2 map layout in the sweep kernels: split the (T, N, K) stack
 # into K separate (T, N, 1) operands so the per-row per-direction read is
@@ -713,9 +727,10 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
         # which measured a LOSS there (r57 d256 F=2: 37.5 vs 38.6 fps at
         # R=1) while R=4 wins at D=128 — the inversion only pays when the
         # full fattening fits
-        rows_per_step = (1 if (p2_maps is not None and P2_LANE_MAJOR)
-                         or D > 128
-                         else (SWEEP_ROWS or 1))
+        if p2_maps is not None and P2_LANE_MAJOR:
+            rows_per_step = ADAPTIVE_SWEEP_ROWS or 1
+        else:
+            rows_per_step = 1 if D > 128 else (SWEEP_ROWS or 1)
     # VMEM budget: 2x-buffered per-row slabs + the (K, N, D) carry scratch
     # (+ optional init slab) must stay under ~12 MB of the ~16 MB VMEM.
     per_row = N * D * (C.dtype.itemsize + 2 * len(s_list) + 2)
@@ -734,6 +749,12 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
         "ring carry hand-off is per-strip, not per-frame"
     assert T % frames == 0
     R = _fit_rows(T // frames, min(rows_per_step, r_max))
+    if p2_maps is not None and P2_LANE_MAJOR:
+        # lane-major map blocks hold 128 scan rows; a step's R rows must
+        # never straddle one, so R must divide 128 (the bwd kernel's
+        # output-RMW invariant, applied to the map reads)
+        while 128 % R:
+            R = _fit_rows(T // frames, R - 1)
     G = T // R
 
     def imap(g):
@@ -753,10 +774,12 @@ def sgm_sweep(C: jnp.ndarray, S_in: jnp.ndarray | None, dxs, reverse: bool,
     n_p2 = 0
     p2_lm = False
     if p2_maps is not None:
-        if P2_LANE_MAJOR and R == 1:
-            # dense lane-major blocks: row r at block r//128, lane r%128
+        if P2_LANE_MAJOR:
+            # dense lane-major blocks: row r at block r//128, lane r%128;
+            # a step's R rows share one block (128 % R == 0, enforced
+            # above), so the block of the step's first row covers them all
             def lm_blk(g):
-                r = (G - 1 - g) if reverse else g
+                r = ((G - 1 - g) if reverse else g) * R
                 return (r // 128, 0, 0)
 
             for m in _p2_lane_major(p2_maps):
