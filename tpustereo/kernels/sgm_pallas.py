@@ -130,8 +130,9 @@ SWEEP_ROWS = 4
 # per-row work fattening cannot amortise, and the map blocks' VMEM
 # share clamps the S-carrying sweeps' r_max); R=1 stays the default,
 # exact on chip at the shipped defaults (r61: adaptive single + F=4
-# stacked vs CPU refs, 0 mismatches). R in {2, 4} kept exact +
-# interpret-tested for re-measurement. Flip + jax.clear_caches().
+# stacked vs CPU refs, 0 mismatches). R in {2, 4} kept for
+# re-measurement — interpret-tested AND chip-gated exact at R=4
+# (r63: same refs, 0 mismatches). Flip + jax.clear_caches().
 ADAPTIVE_SWEEP_ROWS = 1
 
 # Adaptive-P2 map layout in the sweep kernels: split the (T, N, K) stack
