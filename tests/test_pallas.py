@@ -993,3 +993,23 @@ def test_sweep_lane_major_rows_matrix(rng):
         finally:
             sp.ADAPTIVE_SWEEP_ROWS = old
             jax.clear_caches()
+
+
+def test_sweep_emit_transposed_lane_major_maps(rng):
+    """emit_transposed forces R=4, which previously pushed adaptive maps
+    onto the stacked fallback layout; with the r61 R>1 lane-major
+    support they ride lane-major there — pin the combination against
+    the plain sweep's transpose."""
+    from tpustereo.kernels.sgm_pallas import sgm_sweep
+    T, N, D = 32, 16, 128
+    C = jnp.asarray(rng.integers(0, 25, (T, N, D), dtype=np.int32))
+    P2M = jnp.asarray(rng.integers(11, 121, (T, N, 3), dtype=np.int32))
+    for rev in (False, True):
+        ref = np.asarray(sgm_sweep(
+            C, None, (0, 1, -1), rev, p1=10, p2=120, n_real=14,
+            d_real=D, p2_maps=P2M, interpret=True))
+        et = np.asarray(sgm_sweep(
+            C, None, (0, 1, -1), rev, p1=10, p2=120, n_real=14,
+            d_real=D, p2_maps=P2M, emit_transposed=True, interpret=True))
+        np.testing.assert_array_equal(
+            np.swapaxes(et.reshape(N, T, D), 0, 1), ref, err_msg=f"rev={rev}")
